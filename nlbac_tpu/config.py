@@ -1,0 +1,297 @@
+"""Typed configuration tree for NLBAC experiments.
+
+The reference repo is five near-identical program copies whose behavioral
+differences are hardwired constants (see SURVEY.md §2.2).  Here they are a
+single config dataclass with five presets.  Every magic constant in the
+reference is a named field with a citation to where it lives in the
+reference tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class NodeConfig:
+    """Neural-ODE dynamics model configuration.
+
+    Reference: UNI/sac_cbf_clf/model.py:177-217 (control-affine, width 100),
+    CARS/sac_cbf_clf/model.py:178-205 (non-affine, width 64, time input).
+    """
+
+    form: str = "control_affine"  # "control_affine" | "mlp"
+    state_dim: int = 3
+    action_dim: int = 2
+    hidden_dim: int = 100
+    f_hidden_layers: int = 4  # f_net depth (control-affine form)
+    g_hidden_layers: int = 3  # g_net depth (control-affine form)
+    mlp_hidden_layers: int = 3  # net depth (non-affine form)
+    time_input: bool = False  # Cars appends t to the field input
+    lr: float = 1e-3  # UNI/sac_cbf_clf/sac_cbf_clf.py:133
+    solver: str = "euler"  # UNI/sac_cbf_clf/sac_cbf_clf.py:132
+    solver_steps: int = 1  # t_span=[0,dt] with a fixed-step method = 1 step
+    update_interval: int = 10  # --NODE_model_update_interval default
+    max_batch: int = 32768  # UNI/sac_cbf_clf/sac_cbf_clf.py:206
+    fit_episode_limit: Optional[int] = None  # PVTOL: fit only while ep<=100
+    use_pallas: bool = False  # route field evals through the Pallas kernel
+
+    @property
+    def input_dim(self) -> int:
+        extra = 1 if self.time_input else 0
+        return self.state_dim + self.action_dim + extra
+
+
+@dataclass(frozen=True)
+class SacConfig:
+    """SAC hyperparameters. Reference: UNI/main.py:191-239 and agent ctor."""
+
+    gamma: float = 0.99
+    tau: float = 0.005
+    alpha_init: float = 0.2
+    policy_lr: float = 3e-4  # --lr
+    critic_lr: float = 4e-4  # critic_lyapunov_lr, UNI/sac_cbf_clf.py:44
+    hidden_dim: int = 256
+    batch_size: int = 128
+    automatic_entropy_tuning: bool = True
+    target_update_interval: int = 1
+    updates_per_step: int = 2
+    start_steps: int = 1000  # warmup random actions
+
+
+@dataclass(frozen=True)
+class ConstraintConfig:
+    """Augmented-Lagrangian CBF/CLF constraint configuration.
+
+    Reference: UNI/sac_cbf_clf/sac_cbf_clf.py:408-530 and per-variant
+    equivalents (SURVEY.md §2.2 feature matrix).
+    """
+
+    kind: str = "unicycle"  # unicycle | cars | pvtol | learned_barrier
+    gamma_b: float = 50.0  # class-K coefficient for CBF
+    gamma_l: float = 1.0  # class-K coefficient for CLF
+    clf_time_scaled: bool = True  # divide (L'-L) by dt (UNI) or not (CARS)
+    use_ratio: bool = True  # CLF term scaled by CBF/CLF balance ratio
+    ratio_floor: float = 0.0  # 0.002 for CARS/PVTOL/NBC-PVTOL
+    lambda_min: float = 0.01
+    lambda_max: float = 400.0  # 300.0 for CARS
+    lambda_update_interval: int = 8
+    rho_init: float = 1.0  # augmented_term
+    rho_growth: float = 1.0005  # augmented_ratio
+    rho_max: float = 200.0
+    cost_limit: float = 0.0
+    horizon: int = 1  # NODE prediction chain length (1 UNI, 2 CARS, 3 PVTOL)
+    lookahead: float = 0.03  # l_p (unicycle lookahead point)
+    collision_buffer: float = 1.05  # 1.2 for PVTOL
+    # PVTOL-only constants
+    operator_margin: float = 0.9  # operator_dist scaled by this in constraints
+    box_delta_y: float = 10.0
+    # Backup-policy update cadence: 1 = every update (UNI/CARS); 20 = PVTOL.
+    backup_update_interval: int = 1
+    # Whether the variant trains a backup controller at all (NBC: no).
+    use_backup: bool = True
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """Environment configuration. Reference: envs/*.py per variant."""
+
+    name: str = "unicycle"  # unicycle | cars | pvtol
+    dt: float = 0.02
+    max_episode_steps: int = 1200
+    # NBC variants: emit barrier signals from the env
+    barrier_signals: bool = False
+    barrier_b: float = 0.0  # little_b
+    barrier_B: float = -20.0  # capital_b (-0.1 for PVTOL)
+
+
+@dataclass(frozen=True)
+class SupervisorConfig:
+    """Backup-controller trigger state machine (the reference's failure
+    detection / recovery subsystem). Reference: UNI/main.py:109-142,
+    CARS/main.py:102-112, PVTOL/main.py:128-201."""
+
+    kind: str = "trap"  # trap | cars_gap | pvtol (trap + operator-rush) | none
+    enable_after_episodes: int = 4  # i_episode > 3 (UNI) / >= 3 (PVTOL)
+    window: int = 40  # position window length
+    min_steps: int = 50  # only check after this many steps
+    trap_threshold: float = 0.01  # displacement^2 threshold (0.015 PVTOL)
+    trap_count: int = 8  # consecutive trap detections before switch
+    backup_max_steps: int = 30  # 15 for CARS / PVTOL operator-rush
+    escape_distance_sq: float = 0.6  # 1.0 for PVTOL
+    # Cars-specific
+    cars_gap: float = 2.5
+    cars_min_backup_steps: int = 5
+    cars_backup_max_steps: int = 15
+    # PVTOL operator-rush specific
+    rush_backup_max_steps: int = 15
+    operator_dist: float = 1.0
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    capacity: int = 300_000  # sized to actual episode budgets, not 1e7
+    node_capacity: int = 300_000
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    seed: int = 12345
+    max_episodes: int = 200
+    save_every_fraction: int = 2  # save at max_episodes/N cadence (6 for CARS)
+    output: str = "output"
+    exp_name: str = "nlbac"
+    log_wandb: bool = False
+    wandb_project: str = ""
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh scale-out. The honest successor to the reference's dead
+    MPI layer (UNI/utils/mpi_*.py): seed-parallel over a 'seed' axis and
+    batch-parallel gradient psum over a 'dp' axis."""
+
+    seed_axis: int = 1
+    dp_axis: int = 1
+
+
+@dataclass(frozen=True)
+class NLBACConfig:
+    env: EnvConfig = field(default_factory=EnvConfig)
+    sac: SacConfig = field(default_factory=SacConfig)
+    node: NodeConfig = field(default_factory=NodeConfig)
+    constraint: ConstraintConfig = field(default_factory=ConstraintConfig)
+    supervisor: SupervisorConfig = field(default_factory=SupervisorConfig)
+    replay: ReplayConfig = field(default_factory=ReplayConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # Dims of the de-facto env API (SURVEY.md §1 L1 contract)
+    obs_dim: int = 7
+    action_dim: int = 2
+    lyap_dim: int = 2  # dim of the Lyapunov-network input pair
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _unicycle() -> NLBACConfig:
+    """Unicycle with pre-defined CBFs. README.md:43."""
+    return NLBACConfig(
+        env=EnvConfig(name="unicycle", dt=0.02, max_episode_steps=1200),
+        sac=SacConfig(batch_size=128, updates_per_step=2, start_steps=1000),
+        node=NodeConfig(form="control_affine", state_dim=3, action_dim=2),
+        constraint=ConstraintConfig(
+            kind="unicycle", gamma_b=50.0, gamma_l=1.0, clf_time_scaled=True,
+            use_ratio=True, ratio_floor=0.0, lambda_max=400.0, horizon=1,
+        ),
+        supervisor=SupervisorConfig(
+            kind="trap", trap_threshold=0.01, backup_max_steps=30,
+            escape_distance_sq=0.6,
+        ),
+        replay=ReplayConfig(capacity=250_000, node_capacity=250_000),
+        run=RunConfig(max_episodes=200, save_every_fraction=2,
+                      exp_name="Node_LBAC_Unicycle"),
+        obs_dim=7, action_dim=2, lyap_dim=2,
+    )
+
+
+def _cars() -> NLBACConfig:
+    """Simulated car following. README.md:53."""
+    return NLBACConfig(
+        env=EnvConfig(name="cars", dt=0.02, max_episode_steps=300),
+        sac=SacConfig(batch_size=256, updates_per_step=2, start_steps=200),
+        node=NodeConfig(form="mlp", state_dim=10, action_dim=1,
+                        hidden_dim=64, time_input=True),
+        constraint=ConstraintConfig(
+            kind="cars", gamma_b=0.5, gamma_l=0.15, clf_time_scaled=False,
+            use_ratio=True, ratio_floor=0.002, lambda_max=300.0, horizon=2,
+        ),
+        supervisor=SupervisorConfig(kind="cars_gap", cars_gap=2.5,
+                                    cars_backup_max_steps=15,
+                                    cars_min_backup_steps=5),
+        replay=ReplayConfig(capacity=70_000, node_capacity=70_000),
+        run=RunConfig(max_episodes=200, save_every_fraction=6,
+                      exp_name="Node_LBAC_Cars"),
+        obs_dim=10, action_dim=1, lyap_dim=4,
+    )
+
+
+def _pvtol() -> NLBACConfig:
+    """PVTOL with pre-defined CBFs. README.md:59."""
+    return NLBACConfig(
+        env=EnvConfig(name="pvtol", dt=0.02, max_episode_steps=2000),
+        sac=SacConfig(batch_size=256, updates_per_step=1, start_steps=1000),
+        node=NodeConfig(form="control_affine", state_dim=6, action_dim=2,
+                        fit_episode_limit=100),
+        constraint=ConstraintConfig(
+            kind="pvtol", gamma_b=0.8, gamma_l=0.1, clf_time_scaled=False,
+            use_ratio=True, ratio_floor=0.002, lambda_max=400.0, horizon=3,
+            collision_buffer=1.2, backup_update_interval=20,
+        ),
+        supervisor=SupervisorConfig(
+            kind="pvtol", trap_threshold=0.015, backup_max_steps=30,
+            escape_distance_sq=1.0, rush_backup_max_steps=15,
+            operator_dist=1.0,
+        ),
+        replay=ReplayConfig(capacity=850_000, node_capacity=850_000),
+        run=RunConfig(max_episodes=400, save_every_fraction=2,
+                      exp_name="Node_LBAC_Pvtol"),
+        obs_dim=11, action_dim=2, lyap_dim=11,
+    )
+
+
+def _nbc_unicycle() -> NLBACConfig:
+    """Unicycle with a learned neural barrier certificate. README.md:48."""
+    base = _unicycle()
+    return dataclasses.replace(
+        base,
+        env=dataclasses.replace(base.env, barrier_signals=True,
+                                barrier_B=-20.0),
+        constraint=ConstraintConfig(
+            kind="learned_barrier", gamma_b=5.0, gamma_l=1.0,
+            clf_time_scaled=True, use_ratio=False, lambda_max=400.0,
+            horizon=1, use_backup=False,
+        ),
+        supervisor=SupervisorConfig(kind="none"),
+        run=dataclasses.replace(base.run, exp_name="NBC_LBAC_Unicycle"),
+    )
+
+
+def _nbc_pvtol() -> NLBACConfig:
+    """PVTOL with a learned neural barrier certificate. README.md:64."""
+    base = _pvtol()
+    return dataclasses.replace(
+        base,
+        env=dataclasses.replace(base.env, barrier_signals=True,
+                                barrier_B=-0.1),
+        constraint=ConstraintConfig(
+            kind="learned_barrier", gamma_b=1.0, gamma_l=0.1,
+            clf_time_scaled=False, use_ratio=True, ratio_floor=0.002,
+            lambda_max=400.0, horizon=1, use_backup=False,
+        ),
+        supervisor=SupervisorConfig(kind="none"),
+        run=dataclasses.replace(base.run, max_episodes=210,
+                                exp_name="NBC_LBAC_Pvtol"),
+    )
+
+
+PRESETS = {
+    "unicycle": _unicycle,
+    "cars": _cars,
+    "pvtol": _pvtol,
+    "nbc_unicycle": _nbc_unicycle,
+    "nbc_pvtol": _nbc_pvtol,
+}
+
+
+def get_config(name: str, **overrides: Any) -> NLBACConfig:
+    """Build a preset config, optionally replacing top-level fields."""
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; options: {list(PRESETS)}")
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

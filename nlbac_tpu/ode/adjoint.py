@@ -1,0 +1,71 @@
+"""Optimize-then-discretize (adjoint / backsolve) gradients for the fixed-
+step solvers.
+
+The default gradient path in :mod:`nlbac_tpu.ode.solvers` is
+discretize-then-optimize: JAX differentiates straight through the scan,
+which is exact for the discrete solution and is what the reference's
+autograd-through-torchdiffeq does for its fixed-step Euler calls.  For long
+horizons that stores every stage; the adjoint method instead re-integrates
+an augmented system backwards, trading compute for O(1) memory
+(Chen et al., Neural ODEs, 2018).
+
+Math.  For y' = f(theta, t, y), loss L(y(t1)), adjoint a(t) = dL/dy(t):
+
+    da/dt      = -a^T df/dy          with a(t1) = dL/dy1
+    dL/dtheta  = int_{t0}^{t1} a^T df/dtheta dt
+
+We integrate the augmented state (y, a, g_theta) backwards via the
+substitution s = t0 + t1 - t, which turns the backward solve into a forward
+solve of
+
+    d/ds (y, a, g) = (-f, +a^T df/dy, +a^T df/dtheta)
+
+from s=t0 (with (y1, dL/dy1, 0)) to s=t1, using the same RK method.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nlbac_tpu.ode import solvers
+
+
+def odeint_adjoint(field, params, y0, t0, t1, *, method: str = "euler",
+                   num_steps: int = 1):
+    """Fixed-step integration with adjoint (backsolve) gradients.
+
+    Same forward values as ``solvers.solve_fixed``; the VJP re-integrates
+    backwards instead of storing forward stages.
+    """
+
+    @jax.custom_vjp
+    def _solve(params_, y0_):
+        return solvers.solve_fixed(field, params_, y0_, t0, t1,
+                                   method=method, num_steps=num_steps)
+
+    def _fwd(params_, y0_):
+        y1 = _solve(params_, y0_)
+        return y1, (params_, y1)
+
+    def _bwd(res, g):
+        params_, y1 = res
+        zero_p = jax.tree.map(jnp.zeros_like, params_)
+
+        def rev_field(_, s, aug):
+            y, a, _gp = aug
+            t = t0 + t1 - s
+            f_y, vjp = jax.vjp(lambda pp, yy: field(pp, t, yy), params_, y)
+            gp, gy = vjp(a)  # (a^T df/dtheta, a^T df/dy)
+            return (jax.tree.map(jnp.negative, f_y), gy, gp)
+
+        aug0 = (y1, g, zero_p)
+        _, a0, grad_p = solvers.solve_fixed(rev_field, None, aug0, t0, t1,
+                                            method=method,
+                                            num_steps=num_steps)
+        return grad_p, a0
+
+    _solve.defvjp(_fwd, _bwd)
+    return _solve(params, y0)

@@ -1,0 +1,131 @@
+"""Solver-stack tests: analytic ODEs, torchdiffeq-euler parity math,
+adaptive accuracy, adjoint-vs-autodiff gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlbac_tpu.ode import (odeint, odeint_adjoint, odeint_grid, solve_fixed)
+
+
+def exp_field(params, t, y):
+    # dy/dt = lam * y  ->  y(t) = y0 exp(lam t)
+    return params * y
+
+
+def test_euler_single_step_matches_hand_math():
+    """One Euler step over [0, dt] is exactly y + dt*f(0, y) — the
+    reference's only exercised solver configuration."""
+    y0 = jnp.array([1.0, -2.0, 0.5])
+    lam = jnp.float32(0.7)
+    dt = 0.02
+    got = odeint(exp_field, lam, y0, 0.0, dt, method="euler", num_steps=1)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(y0 + dt * lam * y0), rtol=1e-7)
+
+
+@pytest.mark.parametrize("method,order,n", [
+    ("euler", 1, 64), ("midpoint", 2, 32), ("heun", 2, 32), ("rk4", 4, 4)])
+def test_fixed_step_convergence_order(method, order, n):
+    """Halving the step size reduces error by ~2^order (grids chosen coarse
+    enough that float32 roundoff doesn't dominate)."""
+    y0 = jnp.array([1.0])
+    lam = jnp.float32(1.0)
+    t1 = 1.0
+    exact = float(np.exp(1.0))
+
+    def err(k):
+        y = odeint(exp_field, lam, y0, 0.0, t1, method=method, num_steps=k)
+        return abs(float(y[0]) - exact)
+
+    e1, e2 = err(n), err(2 * n)
+    ratio = e1 / e2
+    assert 2 ** order * 0.6 < ratio < 2 ** order * 1.6, (e1, e2, ratio)
+
+
+def test_odeint_grid_matches_chained_solves():
+    y0 = jnp.array([1.0, 2.0])
+    lam = jnp.float32(-0.5)
+    ts = jnp.array([0.0, 0.1, 0.3, 0.6])
+    ys = odeint_grid(exp_field, lam, y0, ts, method="rk4")
+    assert ys.shape == (4, 2)
+    y = y0
+    for a, b in zip(ts[:-1], ts[1:]):
+        y = solve_fixed(exp_field, lam, y, a, b, method="rk4", num_steps=1)
+    np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(y), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
+
+
+def test_dopri5_accuracy_on_stiffish_problem():
+    y0 = jnp.array([1.0])
+    lam = jnp.float32(-4.0)
+    got = odeint(exp_field, lam, y0, 0.0, 1.0, method="dopri5",
+                 rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(got[0]), float(np.exp(-4.0)),
+                               rtol=1e-4)
+
+
+def test_dopri5_nonlinear_vector_field():
+    # dy/dt = [y1, -sin(y0)] (pendulum); check against fine RK4.
+    def pend(params, t, y):
+        return jnp.stack([y[1], -jnp.sin(y[0])])
+
+    y0 = jnp.array([1.0, 0.0])
+    fine = solve_fixed(pend, None, y0, 0.0, 2.0, method="rk4",
+                       num_steps=4096)
+    adapt = odeint(pend, None, y0, 0.0, 2.0, method="dopri5", rtol=1e-6,
+                   atol=1e-8)
+    np.testing.assert_allclose(np.asarray(adapt), np.asarray(fine),
+                               atol=1e-4)
+
+
+def test_gradients_flow_through_fixed_solver():
+    y0 = jnp.array([1.5])
+
+    def loss(lam):
+        y = odeint(exp_field, lam, y0, 0.0, 0.5, method="rk4", num_steps=32)
+        return jnp.sum(y)
+
+    g = jax.grad(loss)(jnp.float32(0.3))
+    # d/dlam [y0 * exp(lam t)] = t * y0 * exp(lam t)
+    expect = 0.5 * 1.5 * np.exp(0.3 * 0.5)
+    np.testing.assert_allclose(float(g), expect, rtol=1e-4)
+
+
+def test_adjoint_matches_autodiff_gradients():
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 3)) * 0.3
+    y0 = jnp.array([0.3, -0.2, 0.5])
+
+    def lin_field(params, t, y):
+        return jnp.tanh(y @ params)
+
+    def loss_direct(p):
+        y = solve_fixed(lin_field, p, y0, 0.0, 1.0, method="rk4",
+                        num_steps=64)
+        return jnp.sum(jnp.square(y))
+
+    def loss_adjoint(p):
+        y = odeint_adjoint(lin_field, p, y0, 0.0, 1.0, method="rk4",
+                           num_steps=64)
+        return jnp.sum(jnp.square(y))
+
+    g1 = jax.grad(loss_direct)(w)
+    g2 = jax.grad(loss_adjoint)(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
+
+
+def test_solvers_jit_and_vmap():
+    y0 = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+
+    @jax.jit
+    def run(batch):
+        return jax.vmap(
+            lambda y: odeint(exp_field, jnp.float32(-1.0), y, 0.0, 0.1,
+                             method="rk4", num_steps=4))(batch)
+
+    out = run(y0)
+    assert out.shape == (16, 4)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(y0) * np.exp(-0.1), rtol=1e-5)
