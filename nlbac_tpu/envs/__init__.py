@@ -1,0 +1,11 @@
+from nlbac_tpu.envs.base import EnvSpec, StepOut, zeros_out  # noqa: F401
+from nlbac_tpu.envs import cars, pvtol, unicycle  # noqa: F401
+
+_ENVS = {"unicycle": unicycle, "cars": cars, "pvtol": pvtol}
+
+
+def get_env(name: str):
+    """name -> env module (the build_env factory, UNI/build_env.py:8-15)."""
+    if name not in _ENVS:
+        raise ValueError(f"unknown env {name!r}; options: {list(_ENVS)}")
+    return _ENVS[name]
