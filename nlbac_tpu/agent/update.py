@@ -1,0 +1,348 @@
+"""The NLBAC update step: everything the reference's
+``SAC_CBF_CLF.update_parameters`` does (UNI/sac_cbf_clf/sac_cbf_clf.py:181-319,
+PVTOL variant :181-340), as ONE pure jittable function over the TrainState.
+
+Per call (matching the reference's sequencing exactly):
+
+1. interval-gated NODE fit on a bounded sample of the NODE buffer
+   (``lax.cond`` replaces the ``updates % interval`` Python branch; the
+   dynamic ``min(position, 32768)`` batch becomes a static-shape sample
+   bounded by a dynamic max index)
+2. twin-Q TD + Lyapunov TD (+ barrier TD for NBC), each with its own Adam
+3. primary policy loss = SAC term (with the FRESH critic) + augmented-
+   Lagrangian constraint term; multiplier ascent and rho growth are
+   device-side state transitions inside the loss
+4. backup policy branch (interval-gated for PVTOL), CBF-only constraints,
+   shared or separate rho per config
+5. entropy-temperature updates for both controllers
+6. interval-gated soft target updates
+
+Returns (TrainState, metrics-dict) — the reference's 6-tuple plus extras.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nlbac_tpu import replay as replay_lib
+from nlbac_tpu.agent.state import TrainState, action_spec, make_optimizers
+from nlbac_tpu.config import NLBACConfig
+from nlbac_tpu.constraints import backup_loss as lag_backup_loss
+from nlbac_tpu.constraints import get_builder
+from nlbac_tpu.constraints import primary_loss as lag_primary_loss
+from nlbac_tpu.envs import get_env
+from nlbac_tpu.nn import (
+    barrier_apply,
+    gaussian_policy_sample,
+    lyapunov_apply,
+    make_field,
+    node_loss,
+    soft_update,
+    twin_q_apply,
+)
+
+
+def _mse(a, b):
+    return jnp.mean(jnp.square(a - b))
+
+
+class Agent(NamedTuple):
+    """Static bundle: config + pure functions (select_action / update)."""
+
+    cfg: NLBACConfig
+    select_action: Callable
+    update: Callable
+    node_fit: Callable
+
+
+def make_agent(cfg: NLBACConfig) -> Agent:
+    env = get_env(cfg.env.name)
+    builder = get_builder(cfg.constraint.kind)
+    field = make_field(cfg.node)
+    spec = action_spec(cfg)
+    opts = make_optimizers(cfg)
+    ccfg, ncfg, scfg = cfg.constraint, cfg.node, cfg.sac
+    dt = cfg.env.dt
+    target_entropy = -float(cfg.action_dim)
+    is_nbc = ccfg.kind == "learned_barrier"
+    action_low = jnp.array(env.SPEC.action_low, jnp.float32)
+    action_high = jnp.array(env.SPEC.action_high, jnp.float32)
+
+    # obs -> NODE-state adapter (UNI/sac_cbf_clf/dynamics.py per variant)
+    if cfg.env.name == "pvtol":
+        obs_to_node_state = env.obs_to_dynamics_state
+    else:
+        obs_to_node_state = env.obs_to_state
+
+    # ------------------------------------------------------------------
+    # Action selection (UNI/sac_cbf_clf/sac_cbf_clf.py:136-177)
+    # ------------------------------------------------------------------
+    def select_action(ts: TrainState, obs, key, warmup, use_backup):
+        """obs: (obs_dim,). warmup/use_backup: traced bools."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        obs_b = obs[None, :]
+        a_pri, _, _ = gaussian_policy_sample(ts.policy, obs_b, k1, spec)
+        a_bak, _, _ = gaussian_policy_sample(ts.backup_policy, obs_b, k2,
+                                             spec)
+        a_rand = jax.random.uniform(k3, (1, cfg.action_dim),
+                                    minval=action_low, maxval=action_high)
+        a = jnp.where(use_backup, a_bak, a_pri)
+        a = jnp.where(warmup, a_rand, a)
+        return a[0]
+
+    # ------------------------------------------------------------------
+    # NODE fit (model.py train_step; gating sac_cbf_clf.py:205-219)
+    # ------------------------------------------------------------------
+    def node_fit(node_params, node_opt, node_replay, key):
+        batch = replay_lib.sample(node_replay, key, ncfg.max_batch,
+                                  max_index=jnp.int32(ncfg.max_batch))
+        x = obs_to_node_state(batch["obs"])
+        x_next = obs_to_node_state(batch["next_obs"])
+        t = batch["t"][:, None] if ncfg.time_input else None
+        loss, grads = jax.value_and_grad(
+            lambda p: node_loss(ncfg, p, x, batch["action"], x_next, dt,
+                                t=t, field=field))(node_params)
+        updates, node_opt = opts["node"].update(grads, node_opt, node_params)
+        node_params = optax.apply_updates(node_params, updates)
+        return node_params, node_opt, loss
+
+    # ------------------------------------------------------------------
+    # The fused update step
+    # ------------------------------------------------------------------
+    def update(ts: TrainState, rl_replay, node_replay, key, i_episode
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        keys = jax.random.split(key, 8)
+        batch = replay_lib.sample(rl_replay, keys[0], scfg.batch_size)
+        obs, action = batch["obs"], batch["action"]
+        reward = batch["reward"][:, None]
+        constraint = batch["constraint"][:, None]
+        mask = batch["mask"][:, None]
+        updates_ctr = ts.updates
+
+        # --- 1. NODE fit (gated) ---------------------------------------
+        do_node = (updates_ctr % ncfg.update_interval == 0)
+        if ncfg.fit_episode_limit is not None:
+            do_node = jnp.logical_and(do_node,
+                                      i_episode <= ncfg.fit_episode_limit)
+
+        def fit(args):
+            return node_fit(args[0], args[1], node_replay, keys[1])
+
+        def skip(args):
+            return args[0], args[1], jnp.float32(0.0)
+
+        node_params, node_opt, node_fit_loss = jax.lax.cond(
+            do_node, fit, skip, (ts.node, ts.opt["node"]))
+
+        # --- 2. critic / Lyapunov / barrier TD --------------------------
+        alpha = jnp.exp(ts.log_alpha[0])
+        next_a, next_logp, _ = gaussian_policy_sample(
+            ts.policy, batch["next_obs"], keys[2], spec)
+        q1_t, q2_t = twin_q_apply(ts.critic_target, batch["next_obs"],
+                                  next_a)
+        min_q_t = jnp.minimum(q1_t, q2_t) - alpha * next_logp
+        next_q = jax.lax.stop_gradient(reward + mask * scfg.gamma * min_q_t)
+
+        lf_t = lyapunov_apply(ts.lyap_target, batch["lyap_t1"])
+        next_l = jax.lax.stop_gradient(constraint + mask * scfg.gamma * lf_t)
+
+        def critic_loss_fn(p):
+            q1, q2 = twin_q_apply(p, obs, action)
+            l1, l2 = _mse(q1, next_q), _mse(q2, next_q)
+            return l1 + l2, (l1, l2)
+
+        (qf_loss, (qf1_loss, qf2_loss)), cgrads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True)(ts.critic)
+        cupd, critic_opt = opts["critic"].update(cgrads, ts.opt["critic"],
+                                                 ts.critic)
+        critic = optax.apply_updates(ts.critic, cupd)
+
+        def lyap_loss_fn(p):
+            return _mse(lyapunov_apply(p, batch["lyap_t"]), next_l)
+
+        lf_loss, lgrads = jax.value_and_grad(lyap_loss_fn)(ts.lyap)
+        lupd, lyap_opt = opts["lyap"].update(lgrads, ts.opt["lyap"], ts.lyap)
+        lyap = optax.apply_updates(ts.lyap, lupd)
+
+        barrier, barrier_opt = ts.barrier, ts.opt["barrier"]
+        barrier_td_loss = jnp.float32(0.0)
+        if is_nbc:
+            b_sig = batch["barrier_signal"][:, None]
+            b_t = barrier_apply(ts.barrier_target, batch["next_obs"],
+                                next_a)
+            next_b = jax.lax.stop_gradient(b_sig + mask * scfg.gamma * b_t)
+
+            def barrier_loss_fn(p):
+                return _mse(barrier_apply(p, obs, action), next_b)
+
+            barrier_td_loss, bgrads = jax.value_and_grad(
+                barrier_loss_fn)(ts.barrier)
+            bupd, barrier_opt = opts["barrier"].update(
+                bgrads, ts.opt["barrier"], ts.barrier)
+            barrier = optax.apply_updates(ts.barrier, bupd)
+
+        # --- 3. primary policy -------------------------------------------
+        do_lam = (updates_ctr % ccfg.lambda_update_interval == 0)
+
+        def make_resampler(policy_params, rkey):
+            def resample(o, k):
+                a, _, _ = gaussian_policy_sample(policy_params, o, k, spec)
+                return a
+            del rkey
+            return resample
+
+        term_kwargs = dict(
+            ccfg=ccfg, ncfg=ncfg, node_params=node_params, field=field,
+            lyap_params=lyap, lyap_t=batch["lyap_t"], dt=dt,
+            t=batch["t"][:, None], next_t=batch["next_t"][:, None],
+            env_name=cfg.env.name, barrier_params=barrier,
+        )
+
+        def policy_loss_fn(p):
+            pi, logp, _ = gaussian_policy_sample(p, obs, keys[3], spec)
+            q1, q2 = twin_q_apply(critic, obs, pi)
+            min_q = jnp.minimum(q1, q2)
+            loss1 = jnp.mean(jax.lax.stop_gradient(alpha) * logp - min_q)
+            terms = builder.terms(obs=obs, action=pi, key=keys[4],
+                                  resample=make_resampler(p, None),
+                                  include_clf=True, **term_kwargs)
+            loss2, lam_new, rho1 = lag_primary_loss(
+                ccfg, terms, ts.lag.lam, ts.lag.rho, do_lam,
+                scfg.batch_size)
+            return loss1 + loss2, (logp, lam_new, rho1, loss1, loss2)
+
+        (_, (logp, lam_new, rho1, policy_loss_1, policy_loss_2)), pgrads = \
+            jax.value_and_grad(policy_loss_fn, has_aux=True)(ts.policy)
+        pupd, policy_opt = opts["policy"].update(pgrads, ts.opt["policy"],
+                                                 ts.policy)
+        policy = optax.apply_updates(ts.policy, pupd)
+
+        # --- 4. backup policy branch ------------------------------------
+        backup_policy = ts.backup_policy
+        backup_policy_opt = ts.opt["backup_policy"]
+        backup_log_alpha = ts.backup_log_alpha
+        backup_alpha_opt = ts.opt["backup_alpha"]
+        backup_lam = ts.lag.backup_lam
+        if ccfg.use_backup:
+            backup_rho_in = (ts.lag.backup_rho if ccfg.separate_backup_rho
+                             else rho1)
+            backup_alpha = jnp.exp(ts.backup_log_alpha[0])
+
+            def backup_branch(args):
+                (bp, bp_opt, bla, bla_opt, blam, brho) = args
+
+                def backup_loss_fn(p):
+                    bpi, blogp, _ = gaussian_policy_sample(p, obs, keys[5],
+                                                           spec)
+                    q1, q2 = twin_q_apply(critic, obs, bpi)
+                    min_q = jnp.minimum(q1, q2)
+                    loss1 = jnp.mean(
+                        jax.lax.stop_gradient(backup_alpha) * blogp - min_q)
+                    terms = builder.terms(obs=obs, action=bpi, key=keys[6],
+                                          resample=make_resampler(p, None),
+                                          include_clf=False, **term_kwargs)
+                    loss2, blam_new, brho_new = lag_backup_loss(
+                        ccfg, terms, blam, brho, do_lam, scfg.batch_size)
+                    return loss1 + loss2, (blogp, blam_new, brho_new)
+
+                (_, (blogp, blam_new, brho_new)), bgrads = \
+                    jax.value_and_grad(backup_loss_fn, has_aux=True)(bp)
+                bupd, bp_opt = opts["backup_policy"].update(bgrads, bp_opt,
+                                                            bp)
+                bp = optax.apply_updates(bp, bupd)
+
+                if scfg.automatic_entropy_tuning:
+                    ent_err = jax.lax.stop_gradient(
+                        jnp.mean(blogp) + target_entropy)
+
+                    def ba_loss(la):
+                        return -(la[0] * ent_err)
+
+                    bagrads = jax.grad(ba_loss)(bla)
+                    baupd, bla_opt = opts["backup_alpha"].update(
+                        bagrads, bla_opt, bla)
+                    bla = optax.apply_updates(bla, baupd)
+                return (bp, bp_opt, bla, bla_opt, blam_new, brho_new)
+
+            args = (backup_policy, backup_policy_opt, backup_log_alpha,
+                    backup_alpha_opt, backup_lam, backup_rho_in)
+            if ccfg.backup_update_interval > 1:
+                do_backup = (updates_ctr % ccfg.backup_update_interval == 0)
+                out = jax.lax.cond(do_backup, backup_branch, lambda a: a,
+                                   args)
+            else:
+                out = backup_branch(args)
+            (backup_policy, backup_policy_opt, backup_log_alpha,
+             backup_alpha_opt, backup_lam, backup_rho_out) = out
+            if ccfg.separate_backup_rho:
+                rho_final, backup_rho_final = rho1, backup_rho_out
+            else:
+                rho_final, backup_rho_final = (backup_rho_out,
+                                               ts.lag.backup_rho)
+        else:
+            rho_final, backup_rho_final = rho1, ts.lag.backup_rho
+
+        # --- 5. primary entropy temperature ------------------------------
+        log_alpha, alpha_opt = ts.log_alpha, ts.opt["alpha"]
+        alpha_loss = jnp.float32(0.0)
+        if scfg.automatic_entropy_tuning:
+            ent_err = jax.lax.stop_gradient(jnp.mean(logp) + target_entropy)
+
+            def a_loss(la):
+                return -(la[0] * ent_err)
+
+            alpha_loss = a_loss(log_alpha)
+            agrads = jax.grad(a_loss)(log_alpha)
+            aupd, alpha_opt = opts["alpha"].update(agrads, alpha_opt,
+                                                   log_alpha)
+            log_alpha = optax.apply_updates(log_alpha, aupd)
+
+        # --- 6. soft target updates --------------------------------------
+        def do_soft(targets):
+            ct, lt, bt = targets
+            ct = soft_update(ct, critic, scfg.tau)
+            lt = soft_update(lt, lyap, scfg.tau)
+            if is_nbc:
+                bt = soft_update(bt, barrier, scfg.tau)
+            return ct, lt, bt
+
+        targets = (ts.critic_target, ts.lyap_target, ts.barrier_target)
+        if scfg.target_update_interval > 1:
+            do_t = (updates_ctr % scfg.target_update_interval == 0)
+            critic_target, lyap_target, barrier_target = jax.lax.cond(
+                do_t, do_soft, lambda t: t, targets)
+        else:
+            critic_target, lyap_target, barrier_target = do_soft(targets)
+
+        new_lag = ts.lag._replace(lam=lam_new, backup_lam=backup_lam,
+                                  rho=rho_final,
+                                  backup_rho=backup_rho_final)
+        new_ts = ts._replace(
+            policy=policy, backup_policy=backup_policy, critic=critic,
+            critic_target=critic_target, lyap=lyap,
+            lyap_target=lyap_target, barrier=barrier,
+            barrier_target=barrier_target, node=node_params,
+            log_alpha=log_alpha, backup_log_alpha=backup_log_alpha,
+            opt={**ts.opt, "policy": policy_opt,
+                 "backup_policy": backup_policy_opt, "critic": critic_opt,
+                 "lyap": lyap_opt, "barrier": barrier_opt,
+                 "node": node_opt, "alpha": alpha_opt,
+                 "backup_alpha": backup_alpha_opt},
+            lag=new_lag, updates=updates_ctr + 1,
+        )
+        metrics = {
+            "qf1_loss": qf1_loss, "qf2_loss": qf2_loss, "lf_loss": lf_loss,
+            "policy_loss": policy_loss_1, "constraint_loss": policy_loss_2,
+            "alpha_loss": alpha_loss, "alpha": jnp.exp(log_alpha[0]),
+            "node_loss": node_fit_loss, "barrier_td_loss": barrier_td_loss,
+            "rho": rho_final, "lam_max": jnp.max(lam_new),
+        }
+        return new_ts, metrics
+
+    return Agent(cfg=cfg, select_action=select_action, update=update,
+                 node_fit=node_fit)

@@ -92,6 +92,10 @@ class ConstraintConfig:
     backup_update_interval: int = 1
     # Whether the variant trains a backup controller at all (NBC: no).
     use_backup: bool = True
+    # UNI/CARS share one rho between primary and backup losses (bumped
+    # twice per update); PVTOL keeps a separate backup_augmented_term
+    # (PVTOL/sac_cbf_clf/sac_cbf_clf.py:62,1033-1034).
+    separate_backup_rho: bool = False
 
 
 @dataclass(frozen=True)
@@ -230,11 +234,12 @@ def _pvtol() -> NLBACConfig:
             kind="pvtol", gamma_b=0.8, gamma_l=0.1, clf_time_scaled=False,
             use_ratio=True, ratio_floor=0.002, lambda_max=400.0, horizon=3,
             collision_buffer=1.2, backup_update_interval=20,
+            separate_backup_rho=True,
         ),
         supervisor=SupervisorConfig(
-            kind="pvtol", trap_threshold=0.015, backup_max_steps=30,
-            escape_distance_sq=1.0, rush_backup_max_steps=15,
-            operator_dist=1.0,
+            kind="pvtol", enable_after_episodes=3, trap_threshold=0.015,
+            backup_max_steps=30, escape_distance_sq=1.0,
+            rush_backup_max_steps=15, operator_dist=1.0,
         ),
         replay=ReplayConfig(capacity=850_000, node_capacity=850_000),
         run=RunConfig(max_episodes=400, save_every_fraction=2,

@@ -1,0 +1,225 @@
+"""Constraint-builder tests: aug-Lagrangian state machine vs hand-computed
+values, residual construction with controlled NODE params."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlbac_tpu.config import ConstraintConfig, NodeConfig, get_config
+from nlbac_tpu.constraints import (
+    backup_loss,
+    filtered_means,
+    get_builder,
+    init_lagrangian,
+    primary_loss,
+)
+from nlbac_tpu.constraints import unicycle as cuni
+from nlbac_tpu.envs import unicycle as euni
+from nlbac_tpu.nn import lyapunov_apply, lyapunov_init, make_field, node_init
+
+
+def test_filtered_means_hand_math():
+    terms = jnp.array([[1.0, -2.0], [3.0, -1.0], [-5.0, 4.0]])
+    c = filtered_means(terms, batch_size=4)  # reference divides by cfg batch
+    np.testing.assert_allclose(np.asarray(c), [1.0, 1.0])
+
+
+def test_primary_loss_hand_computed():
+    cfg = ConstraintConfig(kind="unicycle", gamma_b=1.0, use_ratio=True,
+                           lambda_update_interval=1, rho_init=1.0)
+    # two CBF columns + one CLF column, batch 2
+    terms = jnp.array([[2.0, 0.0, 1.0], [0.0, 4.0, 1.0]])
+    lam = jnp.zeros(3)
+    rho = jnp.float32(1.0)
+    loss, lam2, rho2 = primary_loss(cfg, terms, lam, rho,
+                                    do_lambda_update=jnp.array(True),
+                                    batch_size=2)
+    c = np.array([1.0, 2.0, 1.0])  # relu-mean with batch 2
+    ratio = abs(np.mean(c[:-1])) / abs(c[-1])  # = 1.5
+    lam_exp = np.clip(0 + 1.0 * c, 0.01, 400.0)
+    rho_exp = min(1.0 * 1.0005, 200)
+    loss_exp = (lam_exp[0] * c[0] + rho_exp / 2 * c[0] ** 2
+                + lam_exp[1] * c[1] + rho_exp / 2 * c[1] ** 2
+                + lam_exp[2] * ratio * c[2]
+                + ratio ** 2 * rho_exp / 2 * c[2] ** 2)
+    np.testing.assert_allclose(np.asarray(lam2), lam_exp, rtol=1e-6)
+    np.testing.assert_allclose(float(rho2), rho_exp, rtol=1e-6)
+    np.testing.assert_allclose(float(loss), loss_exp, rtol=1e-5)
+
+
+def test_lambda_gating_and_clamp():
+    cfg = ConstraintConfig(lambda_update_interval=8, lambda_max=400.0)
+    terms = jnp.full((4, 2), 1e6)
+    lam = jnp.zeros(2)
+    _, lam2, _ = primary_loss(cfg, terms, lam, jnp.float32(1.0),
+                              do_lambda_update=jnp.array(False),
+                              batch_size=4)
+    np.testing.assert_allclose(np.asarray(lam2), 0.0)  # gated off
+    _, lam3, _ = primary_loss(cfg, terms, lam, jnp.float32(1.0),
+                              do_lambda_update=jnp.array(True), batch_size=4)
+    np.testing.assert_allclose(np.asarray(lam3), 400.0)  # clamped
+
+
+def test_rho_growth_capped():
+    cfg = ConstraintConfig(rho_growth=1.0005, rho_max=200.0)
+    _, _, rho = primary_loss(cfg, jnp.zeros((2, 2)), jnp.zeros(2),
+                             jnp.float32(199.99),
+                             do_lambda_update=jnp.array(False), batch_size=2)
+    # one growth step from 199.99 caps at 200 eventually
+    assert float(rho) <= 200.0
+    _, _, rho2 = primary_loss(cfg, jnp.zeros((2, 2)), jnp.zeros(2),
+                              jnp.float32(500.0),
+                              do_lambda_update=jnp.array(False),
+                              batch_size=2)
+    assert float(rho2) == 200.0
+
+
+def test_ratio_floor():
+    cfg = ConstraintConfig(use_ratio=True, ratio_floor=0.002)
+    # CBF columns zero, CLF huge -> raw ratio ~0 -> floored
+    terms = jnp.concatenate([jnp.zeros((2, 2)), jnp.full((2, 1), 100.0)], 1)
+    lam = jnp.full(3, 1.0)
+    loss, _, rho = primary_loss(cfg, terms, lam, jnp.float32(1.0),
+                                do_lambda_update=jnp.array(False),
+                                batch_size=2)
+    c_clf = 100.0
+    expected = (1.0 * 0.002 * c_clf
+                + 0.002 ** 2 * float(rho) / 2 * c_clf ** 2)
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_backup_loss_no_ratio():
+    cfg = ConstraintConfig(lambda_update_interval=1)
+    terms = jnp.array([[2.0], [0.0]])
+    loss, lam2, rho2 = backup_loss(cfg, terms, jnp.zeros(1),
+                                   jnp.float32(1.0), jnp.array(True),
+                                   batch_size=2)
+    np.testing.assert_allclose(np.asarray(lam2), [1.0])
+    np.testing.assert_allclose(float(loss),
+                               1.0 * 1.0 + float(rho2) / 2 * 1.0, rtol=1e-5)
+
+
+def _tiny_node(state_dim, action_dim):
+    ncfg = NodeConfig(form="control_affine", state_dim=state_dim,
+                      action_dim=action_dim, hidden_dim=16,
+                      f_hidden_layers=1, g_hidden_layers=1)
+    params = node_init(jax.random.PRNGKey(0), ncfg)
+    return ncfg, params, make_field(ncfg)
+
+
+def test_unicycle_terms_structure_and_gradient():
+    cfg = get_config("unicycle").constraint
+    ncfg, nparams, field = _tiny_node(3, 2)
+    lyap = lyapunov_init(jax.random.PRNGKey(1), 2, 16)
+    obs = euni.state_to_obs(jax.random.normal(jax.random.PRNGKey(2), (4, 3)))
+    lyap_t = jax.random.normal(jax.random.PRNGKey(3), (4, 2))
+
+    def f(a):
+        t = cuni.terms(cfg, ncfg, nparams, field, lyap, obs, a, lyap_t,
+                       jax.random.PRNGKey(4), 0.02)
+        return jnp.sum(t)
+
+    a = jnp.zeros((4, 2))
+    t = cuni.terms(cfg, ncfg, nparams, field, lyap, obs, a, lyap_t,
+                   jax.random.PRNGKey(4), 0.02)
+    assert t.shape == (4, 8)  # 7 CBFs + CLF
+    g = jax.grad(f)(a)
+    assert np.any(np.asarray(g) != 0)  # gradient flows into the action
+    tb = cuni.terms(cfg, ncfg, nparams, field, lyap, obs, a, lyap_t,
+                    jax.random.PRNGKey(4), 0.02, include_clf=False)
+    assert tb.shape == (4, 7)
+
+
+def test_unicycle_cbf_residual_hand_math():
+    """With a zero vector field the prediction equals the state, so the
+    CBF residual reduces to -gamma_b * h(p)."""
+    cfg = dataclasses.replace(get_config("unicycle").constraint,
+                              gamma_b=50.0)
+    ncfg, nparams, field = _tiny_node(3, 2)
+    zero_params = jax.tree.map(jnp.zeros_like, nparams)
+    lyap = lyapunov_init(jax.random.PRNGKey(1), 2, 16)
+    state = jnp.array([[0.5, 0.5, 0.0]])
+    obs = euni.state_to_obs(state)
+    lyap_t = jnp.zeros((1, 2))
+    t = cuni.terms(cfg, ncfg, zero_params, field, lyap, obs,
+                   jnp.zeros((1, 2)), lyap_t, jax.random.PRNGKey(4), 0.02,
+                   include_clf=False)
+    p = np.array([0.5 + 0.03, 0.5])
+    hs = 0.5 * (np.sum((p - np.asarray(euni.HAZARDS)) ** 2, 1)
+                - (1.05 * 0.5) ** 2)
+    np.testing.assert_allclose(np.asarray(t[0]), -50.0 * hs, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kind,env_name,n_primary,n_backup", [
+    ("cars", "cars", 3, 2),
+    ("pvtol", "pvtol", 10, 9),
+])
+def test_multistep_builders_shapes_and_grads(kind, env_name, n_primary,
+                                             n_backup):
+    cfg = get_config(env_name if kind != "learned_barrier" else
+                     f"nbc_{env_name}")
+    ccfg = cfg.constraint
+    ncfg = dataclasses.replace(cfg.node, hidden_dim=16, f_hidden_layers=1,
+                               g_hidden_layers=1, mlp_hidden_layers=1)
+    nparams = node_init(jax.random.PRNGKey(0), ncfg)
+    field = make_field(ncfg)
+    lyap = lyapunov_init(jax.random.PRNGKey(1), cfg.lyap_dim, 16)
+    builder = get_builder(kind)
+    B = 3
+    obs = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.obs_dim)) * 0.1
+    if env_name == "cars":
+        obs = obs + jnp.tile(jnp.array([0.2, 0.1]), 5)
+    lyap_t = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.lyap_dim))
+
+    def resample(o, k):
+        return jnp.zeros((o.shape[0], cfg.action_dim))
+
+    def run(a, include_clf):
+        return builder.terms(
+            ccfg=ccfg, ncfg=ncfg, node_params=nparams, field=field,
+            lyap_params=lyap, obs=obs, action=a, lyap_t=lyap_t,
+            key=jax.random.PRNGKey(4), dt=0.02,
+            t=jnp.zeros((B, 1)), next_t=jnp.full((B, 1), 0.02),
+            resample=resample, include_clf=include_clf)
+
+    a = jnp.zeros((B, cfg.action_dim))
+    t = run(a, True)
+    assert t.shape == (B, n_primary)
+    tb = run(a, False)
+    assert tb.shape == (B, n_backup)
+    g = jax.grad(lambda a_: jnp.sum(run(a_, True)))(a)
+    assert np.any(np.asarray(g) != 0)
+    assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_learned_barrier_builder():
+    cfg = get_config("nbc_unicycle")
+    ccfg = cfg.constraint
+    ncfg = dataclasses.replace(cfg.node, hidden_dim=16, f_hidden_layers=1,
+                               g_hidden_layers=1)
+    nparams = node_init(jax.random.PRNGKey(0), ncfg)
+    field = make_field(ncfg)
+    from nlbac_tpu.nn import barrier_init
+    lyap = lyapunov_init(jax.random.PRNGKey(1), 2, 16)
+    barrier = barrier_init(jax.random.PRNGKey(2), 7, 2, 16)
+    builder = get_builder("learned_barrier")
+    obs = euni.state_to_obs(jax.random.normal(jax.random.PRNGKey(3), (4, 3)))
+
+    def resample(o, k):
+        return jnp.zeros((o.shape[0], 2))
+
+    t = builder.terms(
+        ccfg=ccfg, ncfg=ncfg, node_params=nparams, field=field,
+        lyap_params=lyap, obs=obs, action=jnp.zeros((4, 2)),
+        lyap_t=jnp.zeros((4, 2)), key=jax.random.PRNGKey(4), dt=0.02,
+        env_name="unicycle", barrier_params=barrier, resample=resample)
+    assert t.shape == (4, 2)
+    with pytest.raises(ValueError):
+        builder.terms(
+            ccfg=ccfg, ncfg=ncfg, node_params=nparams, field=field,
+            lyap_params=lyap, obs=obs, action=jnp.zeros((4, 2)),
+            lyap_t=jnp.zeros((4, 2)), key=jax.random.PRNGKey(4), dt=0.02,
+            env_name="cars", barrier_params=barrier, resample=resample)
