@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Headline benchmark: Unicycle NLBAC training throughput (env steps/sec,
+where each env step carries updates_per_step=2 full gradient updates plus
+interval-gated NODE fits — the reference's hot loop, UNI/main.py:56-104).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the same per-step workload implemented with torch (CPU),
+structurally identical to the reference's update
+(UNI/sac_cbf_clf/sac_cbf_clf.py:181-319): the reference itself hardcodes
+CUDA (model.py:11) and publishes no throughput numbers (BASELINE.md), so
+a torch-CPU replica is the only baseline runnable in this image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+
+def bench_tpu(episodes: int = 4, steps: int = 400) -> float:
+    import jax
+    import jax.numpy as jnp
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.config import get_config
+    from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+    cfg = get_config("unicycle")
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, max_episode_steps=steps),
+        sac=dataclasses.replace(cfg.sac, start_steps=200))
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    run = jax.jit(make_episode_runner(cfg))
+
+    total = jnp.int32(0)
+    # episode 0: compile + warmup (excluded from timing)
+    ts, rl, node, m, total = run(ts, rl, node, jax.random.PRNGKey(0),
+                                 jnp.int32(0), total)
+    m.reward.block_until_ready()
+
+    t0 = time.perf_counter()
+    n_steps = 0
+    for ep in range(1, episodes):
+        ts, rl, node, m, total = run(ts, rl, node, jax.random.PRNGKey(ep),
+                                     jnp.int32(ep), total)
+        m.reward.block_until_ready()
+        n_steps += int(m.steps)
+    dt = time.perf_counter() - t0
+    return n_steps / dt
+
+
+def bench_torch_baseline(n_steps: int = 12) -> float:
+    """The reference's per-env-step device work, in torch on CPU:
+    2 updates x (twin-Q TD + Lyapunov TD + policy & backup losses with
+    one NODE forward each + 2 temperature updates) + NODE fit every 10
+    updates on a 32768 batch, plus the env step itself."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    hidden, batch, node_batch = 256, 128, 32768
+    obs_dim, act_dim = 7, 2
+
+    def mlp(sizes):
+        layers = []
+        for a, b in zip(sizes[:-1], sizes[1:]):
+            layers += [nn.Linear(a, b), nn.ReLU()]
+        return nn.Sequential(*layers[:-1])
+
+    q1 = mlp([obs_dim + act_dim, hidden, hidden, 1])
+    q2 = mlp([obs_dim + act_dim, hidden, hidden, 1])
+    lyap = mlp([2, hidden, hidden, 1])
+    policy = mlp([obs_dim, hidden, hidden, 2 * act_dim])
+    backup = mlp([obs_dim, hidden, hidden, 2 * act_dim])
+    f_net = mlp([3, 100, 100, 100, 100, 3])
+    g_net = mlp([3, 100, 100, 100, 6])
+    opts = [torch.optim.Adam(m.parameters(), lr=3e-4)
+            for m in (q1, q2, lyap, policy, backup, f_net, g_net)]
+
+    obs = torch.randn(batch, obs_dim)
+    act = torch.randn(batch, act_dim)
+    lyap_in = torch.randn(batch, 2)
+    node_x = torch.randn(node_batch, 3)
+    node_u = torch.randn(node_batch, 2)
+
+    def node_forward(x, u):
+        gx = g_net(x).reshape(-1, 3, 2)
+        return x + 0.02 * (f_net(x) + torch.bmm(gx, u.unsqueeze(-1))
+                           .squeeze(-1))
+
+    def one_update(upd_idx):
+        # critic + lyapunov TD
+        for net, opt, inp in ((q1, opts[0], torch.cat([obs, act], 1)),
+                              (q2, opts[1], torch.cat([obs, act], 1)),
+                              (lyap, opts[2], lyap_in)):
+            opt.zero_grad()
+            loss = ((net(inp) - 1.0) ** 2).mean()
+            loss.backward()
+            opt.step()
+        # primary + backup policy losses, each with a NODE one-step
+        for net, opt in ((policy, opts[3]), (backup, opts[4])):
+            opt.zero_grad()
+            pa = torch.tanh(net(obs)[:, :act_dim])
+            q = q1(torch.cat([obs, pa], 1))
+            pred = node_forward(obs[:, :3], pa)
+            loss = (-q.mean() + (pred ** 2).mean()
+                    + lyap(pred[:, :2]).mean())
+            loss.backward()
+            opt.step()
+        # NODE fit every 10 updates
+        if upd_idx % 10 == 0:
+            opts[5].zero_grad()
+            opts[6].zero_grad()
+            loss = ((node_forward(node_x, node_u) - node_x) ** 2).mean()
+            loss.backward()
+            opts[5].step()
+            opts[6].step()
+
+    # env step cost (numpy, as the reference's)
+    state = np.array([-2.5, -2.5, 0.0])
+
+    def env_step(a):
+        nonlocal state
+        g = np.array([[np.cos(state[2]), 0], [np.sin(state[2]), 0],
+                      [0, 1.0]])
+        state = state + 0.02 * (g @ a)
+
+    upd = 0
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        for _ in range(2):  # updates_per_step
+            one_update(upd)
+            upd += 1
+        with torch.no_grad():
+            a = torch.tanh(policy(torch.randn(1, obs_dim))[0, :act_dim])
+        env_step(a.numpy())
+    dt = time.perf_counter() - t0
+    return n_steps / dt
+
+
+def main():
+    tpu_sps = bench_tpu()
+    base_sps = bench_torch_baseline()
+    print(json.dumps({
+        "metric": "unicycle_train_env_steps_per_sec",
+        "value": round(tpu_sps, 2),
+        "unit": "env_steps/sec (2 updates/step)",
+        "vs_baseline": round(tpu_sps / base_sps, 2),
+    }))
+    print(f"# baseline (torch-cpu replica of reference update loop): "
+          f"{base_sps:.2f} steps/sec", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

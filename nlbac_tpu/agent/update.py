@@ -57,6 +57,7 @@ class Agent(NamedTuple):
     cfg: NLBACConfig
     select_action: Callable
     update: Callable
+    update_from_batch: Callable
     node_fit: Callable
 
 
@@ -101,6 +102,9 @@ def make_agent(cfg: NLBACConfig) -> Agent:
     def node_fit(node_params, node_opt, node_replay, key):
         batch = replay_lib.sample(node_replay, key, ncfg.max_batch,
                                   max_index=jnp.int32(ncfg.max_batch))
+        return node_fit_batch(node_params, node_opt, batch)
+
+    def node_fit_batch(node_params, node_opt, batch):
         x = obs_to_node_state(batch["obs"])
         x_next = obs_to_node_state(batch["next_obs"])
         t = batch["t"][:, None] if ncfg.time_input else None
@@ -116,8 +120,21 @@ def make_agent(cfg: NLBACConfig) -> Agent:
     # ------------------------------------------------------------------
     def update(ts: TrainState, rl_replay, node_replay, key, i_episode
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        keys = jax.random.split(key, 8)
+        """Sample both buffers on device, then run the batch update."""
+        keys = jax.random.split(key, 3)
         batch = replay_lib.sample(rl_replay, keys[0], scfg.batch_size)
+        node_batch = replay_lib.sample(node_replay, keys[1],
+                                       ncfg.max_batch,
+                                       max_index=jnp.int32(ncfg.max_batch))
+        return update_from_batch(ts, batch, node_batch, keys[2], i_episode)
+
+    def update_from_batch(ts: TrainState, batch, node_batch, key, i_episode
+                          ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """The batch update. Shard ``batch``/``node_batch`` arrays over a
+        'dp' mesh axis (replicating ts) and GSPMD turns the batch-mean
+        reductions into psums over ICI — data-parallel training without
+        touching this function (see nlbac_tpu.parallel)."""
+        keys = jax.random.split(key, 8)
         obs, action = batch["obs"], batch["action"]
         reward = batch["reward"][:, None]
         constraint = batch["constraint"][:, None]
@@ -131,7 +148,7 @@ def make_agent(cfg: NLBACConfig) -> Agent:
                                       i_episode <= ncfg.fit_episode_limit)
 
         def fit(args):
-            return node_fit(args[0], args[1], node_replay, keys[1])
+            return node_fit_batch(args[0], args[1], node_batch)
 
         def skip(args):
             return args[0], args[1], jnp.float32(0.0)
@@ -345,4 +362,4 @@ def make_agent(cfg: NLBACConfig) -> Agent:
         return new_ts, metrics
 
     return Agent(cfg=cfg, select_action=select_action, update=update,
-                 node_fit=node_fit)
+                 update_from_batch=update_from_batch, node_fit=node_fit)

@@ -1,0 +1,8 @@
+from nlbac_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
+    is_rank0,
+    make_dp_update,
+    make_mesh,
+    make_seed_parallel_runner,
+    proc_id,
+)

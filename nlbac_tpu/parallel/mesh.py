@@ -1,0 +1,146 @@
+"""Scale-out over device meshes: the honest TPU successor to the
+reference's vendored-but-dead MPI layer (UNI/utils/mpi_tools.py,
+mpi_pytorch.py — never invoked by any training path; SURVEY.md §2.3).
+
+Two first-class modes, composable on a 2-D ('seed', 'dp') mesh:
+
+- **Seed-parallel** (replaces ``mpi_fork``): N independent training states
+  — one seed per device row — advance in lockstep under one jitted,
+  vmapped episode program.  No cross-seed communication; XLA simply lays
+  each seed's slice on its own devices.
+- **Data-parallel** (replaces ``mpi_avg_grads``): the batch axis of the
+  update step is sharded over 'dp'; GSPMD turns every batch-mean reduction
+  into a psum over ICI automatically (gradients included), which is
+  exactly mpi_avg_grads without any hand-written collective.
+
+Host-side multi-process init (``jax.distributed.initialize``) is wrapped
+by :func:`init_distributed`, and rank-0-gated logging mirrors the
+reference's ``proc_id()==0`` convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nlbac_tpu.agent import create_train_state, make_agent
+from nlbac_tpu.config import NLBACConfig
+from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+
+def make_mesh(shape: Sequence[int],
+              axis_names: Sequence[str] = ("seed", "dp"),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {tuple(shape)} needs {n} devices, have "
+                         f"{len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host init (no-op for single-process runs)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def proc_id() -> int:
+    return jax.process_index()
+
+
+def is_rank0() -> bool:
+    return proc_id() == 0
+
+
+# ---------------------------------------------------------------------------
+# Seed-parallel training
+# ---------------------------------------------------------------------------
+
+def make_seed_parallel_runner(cfg: NLBACConfig, mesh: Mesh,
+                              n_seeds: int, seed_axis: str = "seed"):
+    """Build (init_fn, run_fn) for N-seed lockstep training.
+
+    ``init_fn(base_seed) -> (ts, rl, node, keys, total)`` creates N
+    everything, sharded over ``seed_axis``; ``run_fn`` advances every seed
+    one episode inside a single XLA program (the per-seed while_loops are
+    batched into one masked loop by vmap)."""
+    run_episode = make_episode_runner(cfg)
+
+    def shard(tree):
+        """Shard the leading (seed) axis of every leaf over the mesh."""
+        def put(x):
+            spec = P(seed_axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.tree.map(put, tree)
+
+    def init_fn(base_seed: int):
+        keys = jax.random.split(jax.random.PRNGKey(base_seed), n_seeds)
+        ts = jax.vmap(lambda k: create_train_state(cfg, k))(keys)
+        rl, node = create_replays(cfg)
+        stack = lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_seeds,) + x.shape), t)
+        rl, node = stack(rl), stack(node)
+        run_keys = jax.random.split(jax.random.PRNGKey(base_seed + 1),
+                                    n_seeds)
+        total = jnp.zeros((n_seeds,), jnp.int32)
+        return (shard(ts), shard(rl), shard(node), shard(run_keys),
+                shard(total))
+
+    @jax.jit
+    def run_fn(ts, rl, node, keys, i_episode, total):
+        new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        ep_keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        outs = jax.vmap(
+            lambda t, r, n, k, tot: run_episode(t, r, n, k, i_episode,
+                                                tot))(ts, rl, node,
+                                                      ep_keys, total)
+        ts, rl, node, metrics, total = outs
+        return ts, rl, node, new_keys, metrics, total
+
+    return init_fn, run_fn
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel update
+# ---------------------------------------------------------------------------
+
+def make_dp_update(cfg: NLBACConfig, mesh: Mesh, dp_axis: str = "dp"):
+    """Build ``dp_update(ts, batch, node_batch, key, i_episode)`` with the
+    batch axes sharded over ``dp_axis`` and parameters replicated.
+
+    The function body is the UNCHANGED single-chip update; the sharding
+    annotations alone make GSPMD insert the gradient psums (ICI
+    collectives) — the 'annotate shardings, let XLA insert collectives'
+    recipe."""
+    agent = make_agent(cfg)
+
+    def batch_sharding(x):
+        return NamedSharding(mesh, P(dp_axis, *([None] * (x.ndim - 1))))
+
+    replicated = NamedSharding(mesh, P())
+
+    def place(ts, batch, node_batch, key):
+        ts = jax.tree.map(lambda x: jax.device_put(x, replicated), ts)
+        batch = {k: jax.device_put(v, batch_sharding(v))
+                 for k, v in batch.items()}
+        node_batch = {k: jax.device_put(v, batch_sharding(v))
+                      for k, v in node_batch.items()}
+        key = jax.device_put(key, replicated)
+        return ts, batch, node_batch, key
+
+    @jax.jit
+    def dp_update(ts, batch, node_batch, key, i_episode):
+        return agent.update_from_batch(ts, batch, node_batch, key,
+                                       i_episode)
+
+    return place, dp_update

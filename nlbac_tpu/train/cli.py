@@ -1,0 +1,231 @@
+"""Training CLI: one entry point with five presets, replacing the
+reference's five main.py copies (UNI/main.py:189-286 etc.).
+
+All of the reference's ~25 argparse flags are exposed (plus the constants
+it hardwires), mapped onto the typed config tree.  The episode loop stays
+host-side (logging/checkpointing); each episode runs as one jitted XLA
+program via :mod:`nlbac_tpu.train.driver`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from nlbac_tpu.agent import create_train_state
+from nlbac_tpu.config import NLBACConfig, get_config
+from nlbac_tpu.train.checkpoint import (save_checkpoint,
+                                        save_model_weights)
+from nlbac_tpu.train.driver import create_replays, make_episode_runner
+from nlbac_tpu.train.logging import (EpochLogger, MetricsSink, StepTimer,
+                                     colorize)
+from nlbac_tpu.utils.output import get_output_folder, setup_logger_kwargs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="NLBAC-TPU training")
+    p.add_argument("--preset", default="unicycle",
+                   choices=["unicycle", "cars", "pvtol", "nbc_unicycle",
+                            "nbc_pvtol"],
+                   help="experiment preset (replaces the 5 program copies)")
+    p.add_argument("--env-name", default=None,
+                   help="override env (defaults to the preset's)")
+    p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--output", default="output")
+    p.add_argument("--mode", default="train", choices=["train", "eval"])
+    # SAC
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--tau", type=float, default=None)
+    p.add_argument("--lr", type=float, default=None, help="policy lr")
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--updates_per_step", type=int, default=None)
+    p.add_argument("--start_steps", type=int, default=None)
+    p.add_argument("--target_update_interval", type=int, default=None)
+    p.add_argument("--automatic_entropy_tuning", type=lambda s: s != "0",
+                   default=None)
+    # episodes / env
+    p.add_argument("--max_episodes", type=int, default=None)
+    p.add_argument("--max_episode_steps", type=int, default=None)
+    # constraints
+    p.add_argument("--gamma_b", type=float, default=None)
+    p.add_argument("--gamma_l", type=float, default=None)
+    p.add_argument("--l_p", type=float, default=None)
+    p.add_argument("--Lagrangian_multiplier_update_interval", type=int,
+                   default=None)
+    p.add_argument("--backup_update_interval", type=int, default=None)
+    # NODE
+    p.add_argument("--NODE_model_update_interval", type=int, default=None)
+    p.add_argument("--node_solver", default=None,
+                   choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
+    p.add_argument("--replay_size", type=int, default=None)
+    # logging
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_project", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="full-state checkpoint path to write")
+    p.add_argument("--profile_dir", default=None,
+                   help="jax.profiler trace dir (first episode)")
+    return p
+
+
+def config_from_args(args) -> NLBACConfig:
+    cfg = get_config(args.preset)
+
+    def rep(obj, **kw):
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return dataclasses.replace(obj, **kw) if kw else obj
+
+    cfg = dataclasses.replace(
+        cfg,
+        sac=rep(cfg.sac, gamma=args.gamma, tau=args.tau,
+                policy_lr=args.lr, alpha_init=args.alpha,
+                batch_size=args.batch_size, hidden_dim=args.hidden_size,
+                updates_per_step=args.updates_per_step,
+                start_steps=args.start_steps,
+                target_update_interval=args.target_update_interval,
+                automatic_entropy_tuning=args.automatic_entropy_tuning),
+        env=rep(cfg.env, max_episode_steps=args.max_episode_steps),
+        constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
+                       gamma_l=args.gamma_l, lookahead=args.l_p,
+                       lambda_update_interval=(
+                           args.Lagrangian_multiplier_update_interval),
+                       backup_update_interval=args.backup_update_interval),
+        node=rep(cfg.node,
+                 update_interval=args.NODE_model_update_interval,
+                 solver=args.node_solver),
+        run=rep(cfg.run, seed=args.seed,
+                max_episodes=args.max_episodes, output=args.output,
+                log_wandb=True if args.wandb else None,
+                wandb_project=args.wandb_project),
+    )
+    if args.replay_size is not None:
+        cap = min(args.replay_size,
+                  cfg.run.max_episodes * cfg.env.max_episode_steps + 1)
+        cfg = dataclasses.replace(
+            cfg, replay=dataclasses.replace(cfg.replay, capacity=cap,
+                                            node_capacity=cap))
+    return cfg
+
+
+def train(cfg: NLBACConfig, output_dir: str | None = None,
+          quiet: bool = False, checkpoint_path: str | None = None,
+          profile_dir: str | None = None):
+    """The training loop (UNI/main.py train() equivalent)."""
+    logger_dir = output_dir
+    logger = EpochLogger(logger_dir, quiet=quiet)
+    logger.save_config(cfg)
+    sink = MetricsSink(logger, use_wandb=cfg.run.log_wandb,
+                       wandb_project=cfg.run.wandb_project,
+                       wandb_config=cfg.to_dict())
+    timer = StepTimer()
+
+    key = jax.random.PRNGKey(cfg.run.seed)
+    key, kinit = jax.random.split(key)
+    with timer.time("init"):
+        ts = create_train_state(cfg, kinit)
+        rl_replay, node_replay = create_replays(cfg)
+        run_episode = jax.jit(make_episode_runner(cfg))
+
+    total_steps = jnp.int32(0)
+    save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
+    is_nbc = cfg.constraint.kind == "learned_barrier"
+
+    for i_episode in range(cfg.run.max_episodes):
+        key, kep = jax.random.split(key)
+        phase = "episode_first" if i_episode == 0 else "episode"
+        with timer.time(phase):
+            if profile_dir and i_episode == 1:
+                jax.profiler.start_trace(profile_dir)
+            ts, rl_replay, node_replay, m, total_steps = run_episode(
+                ts, rl_replay, node_replay, kep, jnp.int32(i_episode),
+                total_steps)
+            m.reward.block_until_ready()
+            if profile_dir and i_episode == 1:
+                jax.profiler.stop_trace()
+
+        # checkpoints (UNI/main.py:153-154 cadence + full state)
+        if (i_episode % save_every == 0
+                or i_episode == cfg.run.max_episodes - 1):
+            if output_dir is not None:
+                save_model_weights(output_dir, ts,
+                                   include_barrier=is_nbc)
+                if checkpoint_path is None:
+                    checkpoint_path = os.path.join(output_dir,
+                                                   "checkpoint.msgpack")
+                save_checkpoint(checkpoint_path, ts, rl_replay,
+                                node_replay, key, total_steps, i_episode)
+
+        # wandb-channel metrics (UNI/main.py:157-165; PVTOL breakdowns)
+        wb = {
+            "Episode Reward": float(m.reward),
+            "Episode Length": int(m.steps),
+            "Episode Safety Cost": float(m.safety_cost),
+            "Episode Number of Safety Violations": float(m.num_violations),
+            "Cumulated Number of steps": int(total_steps),
+        }
+        if cfg.env.name == "cars":
+            wb["Episode Number of reaching destination"] = float(m.reached)
+        if cfg.env.name == "pvtol":
+            vb, cb = m.viol_breakdown, m.cost_breakdown
+            wb.update({
+                "Episode Number of Collisions with Obstacles": float(vb[0]),
+                "Episode Number of Violations concerning Safety Operator":
+                    float(vb[1]),
+                "Episode Number of Violations concerning ymin": float(vb[2]),
+                "Episode Number of Violations concerning ymax": float(vb[3]),
+                "Episode Safety Cost Concerning Obstacles": float(cb[0]),
+                "Episode Safety Cost Concerning Safety Operator":
+                    float(cb[1]),
+                "Episode Safety Cost Concerning ymin": float(cb[2]),
+                "Episode Safety Cost Concerning ymax": float(cb[3]),
+            })
+        sink.log(wb)
+
+        # EpochLogger channel (UNI/main.py:168-186)
+        logger.store(Episode=i_episode, episode_steps=int(m.steps),
+                     reward_train=float(m.reward),
+                     cost_train=float(m.num_violations),
+                     safety_cost_train=float(m.safety_cost))
+        for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+                  "alpha_loss", "alpha", "node_loss"):
+            logger.store(**{k: float(m.train[k])})
+        logger.log_tabular("Episode")
+        logger.log_tabular("episode_steps")
+        logger.log_tabular("reward_train")
+        logger.log_tabular("cost_train")
+        logger.log_tabular("safety_cost_train")
+        for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+                  "alpha_loss", "alpha", "node_loss"):
+            logger.log_tabular(k)
+        logger.log_tabular("updates", int(ts.updates))
+        logger.log_tabular("backup_steps", int(m.backup_steps))
+        logger.dump_tabular()
+
+    sink.close()
+    for phase, total in timer.summary().items():
+        print(colorize(f"{phase}: {total:.1f}s", "cyan"))
+    return ts, rl_replay, node_replay
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    out = get_output_folder(args.output, cfg.env.name)
+    lk = setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed, data_dir=out)
+    print(colorize(f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
+                   f"backend={jax.default_backend()} -> {out}", "green",
+                   bold=True))
+    train(cfg, output_dir=lk["output_dir"], quiet=args.quiet,
+          checkpoint_path=args.checkpoint, profile_dir=args.profile_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Episode driver: the reference's host-side ``train()`` loop
+(UNI/main.py:14-186) compiled into a single XLA program per episode.
+
+One ``lax.while_loop`` carries the full training state — env state, both
+replay buffers, the agent TrainState, the backup supervisor, and episode
+accumulators — so an entire episode (env stepping + action selection +
+replay pushes + ``updates_per_step`` gradient updates per step) runs on
+device with zero host round-trips.  The outer loop over episodes stays in
+Python (it does logging/checkpointing, ~hundreds of iterations).
+
+Semantics notes vs the reference:
+- update gate: ``len(memory) > batch_size`` (UNI/main.py:60)
+- warmup: random actions while ``total_steps < start_steps`` (:78-81)
+- mask = 1 at the time-limit step, else ``not done`` (:93)
+- transitions skip the RL buffer while the backup controller is active but
+  always reach the NODE buffer (:96-104)
+- transition times: we store t = (step-1)*dt (time at transition start)
+  and next_t = step*dt for BOTH buffers; the reference's NODE buffer is
+  off by one dt (UNI/main.py:102-104) which only perturbs the Cars
+  time-input feature — we use the physically-consistent time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nlbac_tpu import replay as replay_lib
+from nlbac_tpu.agent import TrainState, make_agent
+from nlbac_tpu.config import NLBACConfig
+from nlbac_tpu.envs import get_env
+from nlbac_tpu.train.supervisor import (
+    SupervisorState,
+    init_supervisor,
+    post_step,
+    pre_action,
+)
+
+
+class EpisodeMetrics(NamedTuple):
+    reward: jnp.ndarray
+    steps: jnp.ndarray
+    num_violations: jnp.ndarray
+    safety_cost: jnp.ndarray
+    reached: jnp.ndarray
+    goal_met: jnp.ndarray
+    viol_breakdown: jnp.ndarray  # (4,)
+    cost_breakdown: jnp.ndarray  # (4,)
+    backup_steps: jnp.ndarray
+    updates_done: jnp.ndarray
+    train: Dict[str, jnp.ndarray]  # last update's metrics
+
+
+class Carry(NamedTuple):
+    ts: TrainState
+    rl_replay: Any
+    node_replay: Any
+    env_state: Any
+    obs: jnp.ndarray
+    sup: SupervisorState
+    key: jnp.ndarray
+    episode_steps: jnp.ndarray
+    total_steps: jnp.ndarray
+    done: jnp.ndarray
+    metrics: EpisodeMetrics
+
+
+def _zero_train_metrics():
+    z = jnp.float32(0.0)
+    return {k: z for k in
+            ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+             "constraint_loss", "alpha_loss", "alpha", "node_loss",
+             "barrier_td_loss", "rho", "lam_max")}
+
+
+def make_episode_runner(cfg: NLBACConfig):
+    """Build ``run_episode(ts, rl_replay, node_replay, key, i_episode,
+    total_steps) -> (ts, rl_replay, node_replay, EpisodeMetrics,
+    total_steps)`` — jit it once, reuse across episodes."""
+    env = get_env(cfg.env.name)
+    agent = make_agent(cfg)
+    scfg, ccfg = cfg.sac, cfg.constraint
+    dt = cfg.env.dt
+    max_steps = cfg.env.max_episode_steps
+    barrier_B = cfg.env.barrier_B if cfg.env.barrier_signals else 0.0
+
+    def run_episode(ts, rl_replay, node_replay, key, i_episode,
+                    total_steps):
+        key, krst = jax.random.split(key)
+        env_state, obs0 = env.reset(krst, max_episode_steps=max_steps)
+        start_backup = i_episode >= cfg.supervisor.enable_after_episodes
+
+        init_metrics = EpisodeMetrics(
+            reward=jnp.float32(0), steps=jnp.int32(0),
+            num_violations=jnp.float32(0), safety_cost=jnp.float32(0),
+            reached=jnp.float32(0), goal_met=jnp.array(False),
+            viol_breakdown=jnp.zeros(4, jnp.float32),
+            cost_breakdown=jnp.zeros(4, jnp.float32),
+            backup_steps=jnp.int32(0), updates_done=jnp.int32(0),
+            train=_zero_train_metrics(),
+        )
+        carry0 = Carry(ts=ts, rl_replay=rl_replay, node_replay=node_replay,
+                       env_state=env_state, obs=obs0,
+                       sup=init_supervisor(cfg.supervisor), key=key,
+                       episode_steps=jnp.int32(0), total_steps=total_steps,
+                       done=jnp.array(False), metrics=init_metrics)
+
+        def cond(c: Carry):
+            return ~c.done
+
+        def body(c: Carry) -> Carry:
+            key, kupd, kact, kstep = jax.random.split(c.key, 4)
+
+            # --- 1. gradient updates (UNI/main.py:60-74) ----------------
+            # The `len(memory) > batch_size` gate is a masked select, not a
+            # lax.cond: a cond-wrapped update nested in this while_loop
+            # trips a TPU-compiler bug (bf16 literal check in constant
+            # folding), and the gate is only false for the first
+            # ~batch_size steps of the whole run, so the wasted compute is
+            # negligible while keeping one branch-free loop body.
+            can_update = c.rl_replay.size > scfg.batch_size
+            ts, train_m = c.ts, c.metrics.train
+            ks = jax.random.split(kupd, scfg.updates_per_step)
+            for i in range(scfg.updates_per_step):
+                ts, train_m = agent.update(ts, c.rl_replay, c.node_replay,
+                                           ks[i], i_episode)
+            sel = lambda new, old: jax.tree.map(
+                lambda n, o: jax.lax.select_n(
+                    can_update.astype(jnp.int32), o, n), new, old)
+            ts = sel(ts, c.ts)
+            train_m = sel(train_m, c.metrics.train)
+            upd_inc = jnp.where(can_update, scfg.updates_per_step, 0)
+
+            # --- 2. action selection (+supervisor timer bumps) ----------
+            use_backup, sup = pre_action(cfg.supervisor, c.sup,
+                                         start_backup)
+            warmup = c.total_steps < scfg.start_steps
+            action = agent.select_action(ts, c.obs, kact, warmup,
+                                         use_backup)
+
+            # --- 3. env step --------------------------------------------
+            env_state, out = env.step(c.env_state, action,
+                                      barrier_B=barrier_B,
+                                      max_episode_steps=max_steps)
+            episode_steps = c.episode_steps + 1
+            total_steps = c.total_steps + 1
+
+            # mask: 1 at the time-limit boundary, else not done
+            at_limit = episode_steps == max_steps
+            mask = jnp.where(at_limit, 1.0,
+                             1.0 - out.done.astype(jnp.float32))
+
+            # --- 4. replay pushes ----------------------------------------
+            t = (episode_steps.astype(jnp.float32) - 1.0) * dt
+            rec = replay_lib.record_from_step(c.obs, action, out, mask, t,
+                                              t + dt)
+            rl_replay = replay_lib.push(c.rl_replay, rec,
+                                        do_push=~use_backup)
+            node_replay = replay_lib.push(c.node_replay, rec)
+
+            # --- 5. supervisor trigger machine ---------------------------
+            sup = post_step(cfg.supervisor, sup, c.obs, out, episode_steps,
+                            start_backup)
+
+            # --- 6. accumulate episode metrics ---------------------------
+            m = c.metrics
+            metrics = EpisodeMetrics(
+                reward=m.reward + out.reward,
+                steps=episode_steps,
+                num_violations=m.num_violations + out.num_violations,
+                safety_cost=m.safety_cost + out.safety_cost,
+                reached=m.reached + out.reached,
+                goal_met=jnp.logical_or(m.goal_met, out.goal_met),
+                viol_breakdown=m.viol_breakdown + out.viol_breakdown,
+                cost_breakdown=m.cost_breakdown + out.cost_breakdown,
+                backup_steps=m.backup_steps + use_backup.astype(jnp.int32),
+                updates_done=m.updates_done + upd_inc,
+                train=train_m,
+            )
+            return Carry(ts=ts, rl_replay=rl_replay,
+                         node_replay=node_replay, env_state=env_state,
+                         obs=out.obs, sup=sup, key=key,
+                         episode_steps=episode_steps,
+                         total_steps=total_steps, done=out.done,
+                         metrics=metrics)
+
+        final = jax.lax.while_loop(cond, body, carry0)
+        return (final.ts, final.rl_replay, final.node_replay,
+                final.metrics, final.total_steps)
+
+    return run_episode
+
+
+def create_replays(cfg: NLBACConfig):
+    env = get_env(cfg.env.name)
+    spec = env.SPEC
+    rl = replay_lib.create(cfg.replay.capacity, spec.obs_dim,
+                           spec.action_dim, spec.lyap_dim)
+    node = replay_lib.create(cfg.replay.node_capacity, spec.obs_dim,
+                             spec.action_dim, spec.lyap_dim)
+    return rl, node
