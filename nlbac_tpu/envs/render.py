@@ -1,0 +1,140 @@
+"""Headless rendering: rgb_array frames and trajectory figures.
+
+Capability parity with the reference's pyglet viewer
+(UNI/envs/pyglet_rendering.py:79-455 + env.render methods,
+UNI/envs/unicycle_env.py:187-255, PVTOL/envs/pvtol_env.py:280-361):
+hazards, goal, robot, heading line, and PVTOL's operator marker — drawn
+with matplotlib's Agg canvas (no GL/pyglet in this image; frames return as
+HxWx3 uint8 arrays suitable for video writers), plus whole-trajectory
+figures the reference cannot produce.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+def _canvas(figsize=(6, 4)):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=figsize, dpi=100)
+    return fig, ax
+
+
+def _to_rgb(fig) -> np.ndarray:
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+    return buf
+
+
+def render_unicycle(state, trajectory: Optional[np.ndarray] = None
+                    ) -> np.ndarray:
+    """One rgb frame of the unicycle world. state: (3,) [x, y, theta]."""
+    from nlbac_tpu.envs import unicycle as env
+    fig, ax = _canvas()
+    for loc in np.asarray(env.HAZARDS):
+        ax.add_patch(__import__("matplotlib.patches", fromlist=["Circle"])
+                     .Circle(loc, env.HAZARD_RADIUS, color="red",
+                             alpha=0.6))
+    goal = np.asarray(env.GOAL)
+    ax.add_patch(__import__("matplotlib.patches", fromlist=["Circle"])
+                 .Circle(goal, env.GOAL_SIZE, color="green", alpha=0.6))
+    s = np.asarray(state)
+    ax.plot(s[0], s[1], "o", color="steelblue", markersize=8)
+    ax.plot([s[0], s[0] + 0.4 * np.cos(s[2])],
+            [s[1], s[1] + 0.4 * np.sin(s[2])], "k-", lw=2)
+    if trajectory is not None:
+        t = np.asarray(trajectory)
+        ax.plot(t[:, 0], t[:, 1], "-", color="steelblue", alpha=0.5)
+    ax.set_xlim(-3.2, 3.2)
+    ax.set_ylim(-3.2, 3.2)
+    ax.set_aspect("equal")
+    return _to_rgb(fig)
+
+
+def render_pvtol(state, trajectory: Optional[np.ndarray] = None
+                 ) -> np.ndarray:
+    """One rgb frame of the PVTOL world. state: (7,) incl. operator x."""
+    from nlbac_tpu.envs import pvtol as env
+    from matplotlib.patches import Circle
+    fig, ax = _canvas()
+    for loc in np.asarray(env.HAZARDS):
+        ax.add_patch(Circle(loc, env.HAZARD_RADIUS, color="red",
+                            alpha=0.6))
+    ax.add_patch(Circle(np.asarray(env.GOAL), env.GOAL_SIZE, color="green",
+                        alpha=0.2))
+    s = np.asarray(state)
+    ax.plot(s[0], s[1], "s", color="steelblue", markersize=9)
+    ax.plot([s[0], s[0] - 0.5 * np.sin(s[2])],
+            [s[1], s[1] + 0.5 * np.cos(s[2])], "k-", lw=2)
+    ax.plot(s[6], -5.8, "^", color="orange", markersize=10)  # operator
+    if trajectory is not None:
+        t = np.asarray(trajectory)
+        ax.plot(t[:, 0], t[:, 1], "-", color="steelblue", alpha=0.5)
+    ax.set_xlim(-7, 7)
+    ax.set_ylim(-6, 6)
+    ax.set_aspect("equal")
+    return _to_rgb(fig)
+
+
+def render_cars(state) -> np.ndarray:
+    """One rgb frame of the car chain. state: (10,) [x_i, v_i]."""
+    fig, ax = _canvas(figsize=(8, 2.2))
+    pos = np.asarray(state)[0::2]
+    vel = np.asarray(state)[1::2]
+    colors = ["gray", "gray", "gray", "steelblue", "gray"]
+    for i, (x, v) in enumerate(zip(pos, vel)):
+        ax.plot(x, 0, "s", color=colors[i], markersize=14)
+        ax.annotate(f"{v:.1f}", (x, 0.15), ha="center", fontsize=8)
+    ax.set_ylim(-0.5, 0.6)
+    ax.set_xlim(pos.min() - 5, pos.max() + 5)
+    ax.get_yaxis().set_visible(False)
+    return _to_rgb(fig)
+
+
+def render(env_name: str, state, trajectory=None) -> np.ndarray:
+    if env_name == "unicycle":
+        return render_unicycle(state, trajectory)
+    if env_name == "pvtol":
+        return render_pvtol(state, trajectory)
+    if env_name == "cars":
+        return render_cars(state)
+    raise ValueError(f"no renderer for env {env_name!r}")
+
+
+def save_video(frames: List[np.ndarray], path: str, fps: int = 30) -> str:
+    """Write frames to an .mp4 (via matplotlib animation) or fall back to
+    a directory of .png frames when no video encoder is available."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    try:
+        fig = plt.figure(figsize=(frames[0].shape[1] / 100,
+                                  frames[0].shape[0] / 100), dpi=100)
+        ax = fig.add_axes([0, 0, 1, 1])
+        ax.axis("off")
+        im = ax.imshow(frames[0])
+
+        def update(i):
+            im.set_data(frames[i])
+            return [im]
+
+        ani = animation.FuncAnimation(fig, update, frames=len(frames))
+        ani.save(path, fps=fps, writer="ffmpeg")
+        plt.close(fig)
+        return path
+    except Exception:
+        import os
+        base = path.rsplit(".", 1)[0]
+        os.makedirs(base, exist_ok=True)
+        from matplotlib.image import imsave
+        for i, fr in enumerate(frames):
+            imsave(os.path.join(base, f"frame_{i:05d}.png"), fr)
+        return base

@@ -1,0 +1,118 @@
+"""Policy evaluator: load a trained agent and run (optionally rendered)
+evaluation rollouts.
+
+Capability parity with UNI/utils/test_policy.py:11-152 — which the
+reference vendors but never wires to its own checkpoint format
+(SURVEY.md §4).  This one actually loads this framework's checkpoints,
+rolls out the DETERMINISTIC policy head (evaluate=True semantics,
+UNI/sac_cbf_clf/sac_cbf_clf.py:149-152), and reports per-episode
+return/length/violations; ``--render`` writes frames/video.
+
+Usage:
+    python -m nlbac_tpu.utils.evaluate RUN_DIR --preset unicycle \
+        --episodes 5 [--render out.mp4]
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlbac_tpu.agent import action_spec, create_train_state
+from nlbac_tpu.config import get_config
+from nlbac_tpu.envs import get_env
+from nlbac_tpu.nn import gaussian_policy_sample
+from nlbac_tpu.train.checkpoint import load_model_weights
+
+
+def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
+               render_path: Optional[str] = None, deterministic=True):
+    env = get_env(cfg.env.name)
+    spec = action_spec(cfg)
+
+    @jax.jit
+    def rollout(policy, key):
+        key, krst = jax.random.split(key)
+        st, obs = env.reset(krst,
+                            max_episode_steps=cfg.env.max_episode_steps)
+
+        def cond(c):
+            return ~c[2]
+
+        def body(c):
+            st, obs, done, key, reward, steps, viol, states = c
+            key, k = jax.random.split(key)
+            a_s, _, a_det = gaussian_policy_sample(policy, obs[None], k,
+                                                   spec)
+            a = a_det[0] if deterministic else a_s[0]
+            st, out = env.step(st, a,
+                               max_episode_steps=cfg.env.max_episode_steps)
+            states = jax.lax.dynamic_update_index_in_dim(
+                states, _track(st), steps, axis=0)
+            return (st, out.obs, out.done, key, reward + out.reward,
+                    steps + 1, viol + out.num_violations, states)
+
+        def _track(st):
+            x = st.x
+            full = jnp.zeros((12,), jnp.float32)
+            return full.at[:x.shape[0]].set(x)
+
+        states0 = jnp.zeros((cfg.env.max_episode_steps, 12), jnp.float32)
+        out = jax.lax.while_loop(cond, body,
+                                 (st, obs, jnp.array(False), key,
+                                  jnp.float32(0), jnp.int32(0),
+                                  jnp.float32(0), states0))
+        return out[4], out[5], out[6], out[7]
+
+    results = []
+    frames = []
+    for ep in range(episodes):
+        r, n, v, states = rollout(ts.policy, jax.random.PRNGKey(seed + ep))
+        n = int(n)
+        results.append({"return": float(r), "length": n,
+                        "violations": float(v)})
+        print(f"eval ep {ep}: return={float(r):.2f} len={n} "
+              f"violations={float(v):.0f}")
+        if render_path and ep == 0:
+            from nlbac_tpu.envs.render import render, save_video
+            traj = np.asarray(states[:n])
+            stride = max(1, n // 150)
+            for i in range(0, n, stride):
+                frames.append(render(cfg.env.name, traj[i],
+                                     trajectory=traj[:i + 1]))
+    if render_path and frames:
+        from nlbac_tpu.envs.render import save_video
+        out = save_video(frames, render_path)
+        print(f"wrote {out}")
+    agg = {k: float(np.mean([r[k] for r in results]))
+           for k in ("return", "length", "violations")}
+    print(f"mean over {episodes} eps: {agg}")
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="evaluate a trained policy")
+    p.add_argument("run_dir", help="directory with actor.pkl etc.")
+    p.add_argument("--preset", default="unicycle")
+    p.add_argument("--episodes", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render", default=None)
+    p.add_argument("--stochastic", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.preset)
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    ts = load_model_weights(args.run_dir, ts,
+                            include_barrier=(cfg.constraint.kind
+                                             == "learned_barrier"))
+    run_policy(cfg, ts, episodes=args.episodes, seed=args.seed,
+               render_path=args.render,
+               deterministic=not args.stochastic)
+
+
+if __name__ == "__main__":
+    main()

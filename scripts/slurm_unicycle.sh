@@ -1,0 +1,20 @@
+#!/bin/bash
+# SLURM launch: Unicycle NLBAC on one TPU host.
+# Capability parity with NBC-UNI/CLF_CBF_Unicycle_20.sh (single-GPU sbatch
+# with the README hyperparameters), retargeted at a TPU partition.
+#SBATCH --job-name=nlbac_unicycle
+#SBATCH --output=logs/nlbac_unicycle_%j.out
+#SBATCH --time=24:00:00
+#SBATCH --nodes=1
+#SBATCH --ntasks-per-node=1
+#SBATCH --cpus-per-task=8
+# For GPU clusters instead:  #SBATCH --gres=gpu:1
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+# README.md:43 hyperparameters
+python train.py --preset unicycle \
+    --gamma_b 50 --updates_per_step 2 --batch_size 128 \
+    --start_steps 1000 --seed "${SEED:-12345}" \
+    --output "${OUTPUT:-output}"

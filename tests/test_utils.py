@@ -1,0 +1,165 @@
+"""Tests for the utility tier: plotting, grid search, output dirs, math
+helpers, serialization, rendering, host-env adapter, logging."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlbac_tpu.config import get_config
+from nlbac_tpu.train.logging import EpochLogger
+from nlbac_tpu.utils import (ExperimentGrid, convert_json,
+                             get_output_folder, rotate, scale_action,
+                             setup_logger_kwargs, unscale_action,
+                             wrap_angle)
+
+
+def test_output_folder_autoincrement(tmp_path):
+    p1 = get_output_folder(str(tmp_path), "unicycle")
+    p2 = get_output_folder(str(tmp_path), "unicycle")
+    assert p1.endswith("unicycle-run1")
+    assert p2.endswith("unicycle-run2")
+    kw = setup_logger_kwargs("exp", 7, data_dir=str(tmp_path))
+    assert kw["output_dir"].endswith(os.path.join("exp", "exp_s7"))
+
+
+def test_convert_json_on_config():
+    blob = convert_json(get_config("pvtol"))
+    s = json.dumps(blob)  # must be dumpable
+    assert "gamma_b" in s and "0.8" in s
+
+
+def test_scale_unscale_roundtrip():
+    low, high = np.array([-3.5, -12.0]), np.array([3.5, 12.0])
+    a = jnp.array([[0.3, -0.9]])
+    scaled = scale_action(a, low, high)
+    back = unscale_action(scaled, low, high)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(a), atol=1e-6)
+    assert np.all(np.asarray(scaled) >= low) and \
+        np.all(np.asarray(scaled) <= high)
+
+
+def test_rotate_and_wrap():
+    v = jnp.array([1.0, 0.0])
+    r = rotate(v, jnp.float32(np.pi / 2))
+    np.testing.assert_allclose(np.asarray(r), [0.0, -1.0], atol=1e-6)
+    np.testing.assert_allclose(float(wrap_angle(jnp.float32(2.5 * np.pi))),
+                               0.5 * np.pi, atol=1e-5)
+
+
+def test_epoch_logger_writes_progress(tmp_path):
+    lg = EpochLogger(str(tmp_path), quiet=True)
+    lg.save_config({"a": 1, "nested": {"b": [1, 2]}})
+    for ep in range(3):
+        lg.store(reward_train=float(ep), reward_extra=2.0 * ep)
+        lg.store(reward_train=float(ep + 1))
+        lg.log_tabular("Episode", ep)
+        lg.log_tabular("reward_train", with_min_and_max=True,
+                       average_only=False)
+        lg.dump_tabular()
+    lg.close()
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(os.path.join(tmp_path, "progress.txt"))
+    assert len(cols["Episode"]) == 3
+    np.testing.assert_allclose(cols["reward_train"], [0.5, 1.5, 2.5])
+    assert "Minreward_train" in cols and "Stdreward_train" in cols
+    assert os.path.exists(os.path.join(tmp_path, "config.json"))
+
+
+def test_plotter_end_to_end(tmp_path):
+    # two seeds of one experiment
+    for seed in (0, 1):
+        d = os.path.join(tmp_path, "exp", f"exp_s{seed}")
+        lg = EpochLogger(d, quiet=True)
+        for ep in range(5):
+            lg.log_tabular("Episode", ep)
+            lg.log_tabular("reward_train", ep * (seed + 1.0))
+            lg.dump_tabular()
+        lg.close()
+    from nlbac_tpu.utils.plot import make_plots
+    out = os.path.join(tmp_path, "p.png")
+    make_plots([str(tmp_path)], "reward_train", "Episode", 1, out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_experiment_grid_variants():
+    g = ExperimentGrid("sweep", base="unicycle")
+    g.add("constraint.gamma_b", [20.0, 50.0])
+    g.add("sac.batch_size", [128, 256])
+    g.add("run.seed", 7)  # single value -> not in names
+    variants = list(g.variant_configs())
+    assert len(variants) == 4
+    names = [n for n, _ in variants]
+    assert len(set(names)) == 4
+    assert all("see" not in n for n in names)
+    cfgs = {n: c for n, c in variants}
+    assert any(c.constraint.gamma_b == 20.0 and c.sac.batch_size == 256
+               for c in cfgs.values())
+    assert all(c.run.seed == 7 for c in cfgs.values())
+    with pytest.raises(TypeError):
+        g.add("constraint.not_a_field", [1])
+
+
+def test_render_frames():
+    from nlbac_tpu.envs.render import render
+    f = render("unicycle", np.array([0.0, 0.0, 1.0]),
+               trajectory=np.array([[0, 0, 0], [0.1, 0.1, 0.5]]))
+    assert f.ndim == 3 and f.shape[2] == 3 and f.dtype == np.uint8
+    f2 = render("pvtol", np.array([0.0, 0.0, 0.1, 0, 0, 1.0, -0.5]))
+    assert f2.shape[2] == 3
+    f3 = render("cars", np.arange(10, dtype=float))
+    assert f3.shape[2] == 3
+    with pytest.raises(ValueError):
+        render("nope", None)
+
+
+class _ToyHostEnv:
+    """Host-side env implementing the reference's extended step API."""
+
+    def __init__(self):
+        self.x = 0.0
+        self.steps = 0
+
+    def reset(self):
+        self.x = 0.0
+        self.steps = 0
+        return np.array([self.x, 0.0], np.float32)
+
+    def step(self, action):
+        self.x += float(action[0]) * 0.1
+        self.steps += 1
+        done = self.steps >= 5
+        info = {"num_safety_violation": int(self.x > 0.3),
+                "safety_cost": max(0.0, self.x - 0.3)}
+        lyap = np.array([self.x], np.float32)
+        return (np.array([self.x, float(self.steps)], np.float32),
+                -abs(self.x - 1.0), abs(self.x - 1.0), lyap, lyap, done,
+                info)
+
+
+def test_host_env_adapter_under_jit():
+    from nlbac_tpu.envs.base import EnvSpec
+    from nlbac_tpu.envs.host_adapter import HostEnvAdapter
+    spec = EnvSpec(name="toy", obs_dim=2, action_dim=1, state_dim=2,
+                   lyap_dim=1, dt=0.1, max_episode_steps=5,
+                   action_low=(-1.0,), action_high=(1.0,))
+    adapter = HostEnvAdapter(_ToyHostEnv(), spec)
+    state, obs = adapter.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(obs), [0.0, 0.0])
+
+    @jax.jit
+    def roll(state):
+        def body(c, _):
+            st, total = c
+            st, out = adapter.step(st, jnp.array([1.0]))
+            return (st, total + out.reward), out.done
+        (st, total), dones = jax.lax.scan(body, (state, jnp.float32(0)),
+                                          None, length=5)
+        return total, dones
+
+    total, dones = roll(state)
+    assert bool(dones[-1]) and not bool(dones[0])
+    assert float(total) < 0
