@@ -1,0 +1,137 @@
+"""ctypes bindings for the native host data plane (runtime/host_buffer.cpp).
+
+``HostReplay`` mirrors the device replay's push/sample surface for
+host-env-mode training loops; ``NativeTsvWriter`` is a drop-in fast
+backend for the EpochLogger's progress.txt channel.  Both degrade
+gracefully: if the shared library isn't built yet this module builds it
+on first use (g++, ~1s) and raises a clear error if no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libnlbac_host.so")
+_lib = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise RuntimeError(
+                f"native runtime not built and build failed: {e}; run "
+                f"`make -C {_RUNTIME_DIR}`") from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64, u64 = ctypes.c_int64, ctypes.c_uint64
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.rb_create.restype = ctypes.c_void_p
+    lib.rb_create.argtypes = [i64, i64, u64]
+    lib.rb_destroy.argtypes = [ctypes.c_void_p]
+    lib.rb_push.argtypes = [ctypes.c_void_p, fp]
+    lib.rb_push_many.argtypes = [ctypes.c_void_p, fp, i64]
+    lib.rb_sample.argtypes = [ctypes.c_void_p, i64, i64, fp]
+    lib.rb_size.restype = i64
+    lib.rb_size.argtypes = [ctypes.c_void_p]
+    lib.rb_total.restype = i64
+    lib.rb_total.argtypes = [ctypes.c_void_p]
+    lib.tsv_create.restype = ctypes.c_void_p
+    lib.tsv_create.argtypes = [ctypes.c_char_p]
+    lib.tsv_destroy.argtypes = [ctypes.c_void_p]
+    lib.tsv_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.tsv_row.argtypes = [ctypes.c_void_p, fp, i64]
+    lib.tsv_flush.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _as_float_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class HostReplay:
+    """Host-side ring buffer of flat float32 records (native storage)."""
+
+    def __init__(self, capacity: int, record_size: int, seed: int = 0):
+        self._lib = _load()
+        self.capacity = capacity
+        self.record_size = record_size
+        self._h = self._lib.rb_create(capacity, record_size, seed)
+
+    def push(self, record: np.ndarray) -> None:
+        rec = np.ascontiguousarray(record, np.float32)
+        assert rec.size == self.record_size
+        self._lib.rb_push(self._h, _as_float_ptr(rec))
+
+    def push_many(self, records: np.ndarray) -> None:
+        recs = np.ascontiguousarray(records, np.float32)
+        assert recs.ndim == 2 and recs.shape[1] == self.record_size
+        self._lib.rb_push_many(self._h, _as_float_ptr(recs),
+                               recs.shape[0])
+
+    def sample(self, n: int, max_index: int = 0) -> np.ndarray:
+        out = np.empty((n, self.record_size), np.float32)
+        self._lib.rb_sample(self._h, n, max_index, _as_float_ptr(out))
+        return out
+
+    @property
+    def size(self) -> int:
+        return self._lib.rb_size(self._h)
+
+    @property
+    def total(self) -> int:
+        return self._lib.rb_total(self._h)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.rb_destroy(self._h)
+            self._h = None
+
+
+class NativeTsvWriter:
+    """Buffered native TSV writer (progress.txt backend)."""
+
+    def __init__(self, path: str):
+        self._lib = _load()
+        self._h = self._lib.tsv_create(path.encode())
+
+    def header(self, columns) -> None:
+        self._lib.tsv_header(self._h, "\t".join(columns).encode())
+
+    def row(self, values) -> None:
+        vals = np.ascontiguousarray(values, np.float32)
+        self._lib.tsv_row(self._h, _as_float_ptr(vals), vals.size)
+
+    def flush(self) -> None:
+        self._lib.tsv_flush(self._h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.tsv_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
