@@ -132,7 +132,11 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     with timer.time("init"):
         ts = create_train_state(cfg, kinit)
         rl_replay, node_replay = create_replays(cfg)
-        run_episode = jax.jit(make_episode_runner(cfg))
+        # donate the train state and both replay buffers: they thread
+        # straight through to the outputs, so XLA updates them in place
+        # instead of copying ~100MB of buffers every episode
+        run_episode = jax.jit(make_episode_runner(cfg),
+                              donate_argnums=(0, 1, 2))
 
     total_steps = jnp.int32(0)
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
@@ -218,6 +222,18 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    if args.mode == "eval":
+        # evaluate reference-layout weights from --output (which then
+        # points at a run directory, not a parent folder)
+        from nlbac_tpu.agent import create_train_state
+        from nlbac_tpu.train.checkpoint import load_model_weights
+        from nlbac_tpu.utils.evaluate import run_policy
+        ts = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
+        ts = load_model_weights(args.output, ts,
+                                include_barrier=(cfg.constraint.kind
+                                                 == "learned_barrier"))
+        run_policy(cfg, ts, episodes=5, seed=cfg.run.seed)
+        return
     out = get_output_folder(args.output, cfg.env.name)
     lk = setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed, data_dir=out)
     print(colorize(f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "

@@ -1,0 +1,184 @@
+"""Agent-level semantic tests: update cadences, Lagrangian state
+transitions, variant gating (PVTOL backup interval, NBC barrier TD),
+entropy temperature direction."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlbac_tpu import replay as rlib
+from nlbac_tpu.agent import create_train_state, make_agent
+from nlbac_tpu.config import ReplayConfig, get_config
+from nlbac_tpu.envs import get_env
+
+
+def tiny(preset, **constraint_over):
+    cfg = get_config(preset)
+    return dataclasses.replace(
+        cfg,
+        sac=dataclasses.replace(cfg.sac, hidden_dim=16, batch_size=8,
+                                start_steps=5),
+        node=dataclasses.replace(cfg.node, hidden_dim=8, f_hidden_layers=1,
+                                 g_hidden_layers=1, mlp_hidden_layers=1,
+                                 max_batch=16, update_interval=3),
+        constraint=dataclasses.replace(cfg.constraint, **constraint_over),
+        replay=ReplayConfig(capacity=128, node_capacity=128),
+    )
+
+
+def fill_replay(cfg, n=30, seed=1):
+    env = get_env(cfg.env.name)
+    spec = env.SPEC
+    buf = rlib.create(128, spec.obs_dim, spec.action_dim, spec.lyap_dim)
+    key = jax.random.PRNGKey(seed)
+    st, obs = env.reset(key)
+    for i in range(n):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (spec.action_dim,),
+                               minval=jnp.array(spec.action_low),
+                               maxval=jnp.array(spec.action_high))
+        st, out = env.step(st, a, barrier_B=cfg.env.barrier_B
+                           if cfg.env.barrier_signals else 0.0)
+        rec = rlib.record_from_step(obs, a, out, jnp.float32(1.0),
+                                    jnp.float32(i * cfg.env.dt),
+                                    jnp.float32((i + 1) * cfg.env.dt))
+        buf = rlib.push(buf, rec)
+        obs = out.obs
+    return buf
+
+
+def run_updates(cfg, n_updates, seed=0):
+    ts = create_train_state(cfg, jax.random.PRNGKey(seed))
+    buf = fill_replay(cfg)
+    agent = make_agent(cfg)
+    upd = jax.jit(agent.update)
+    snapshots = [ts]
+    for u in range(n_updates):
+        ts, m = upd(ts, buf, buf, jax.random.PRNGKey(100 + u),
+                    jnp.int32(0))
+        snapshots.append(ts)
+    return snapshots, m
+
+
+def _changed(a, b):
+    return any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_update_counter_and_rho_double_bump():
+    """UNI shares one rho between primary and backup losses: each update
+    multiplies it by growth^2 (SURVEY.md §2.2 'rho double-increment')."""
+    cfg = tiny("unicycle")
+    snaps, _ = run_updates(cfg, 3)
+    assert int(snaps[-1].updates) == 3
+    g = cfg.constraint.rho_growth
+    for i in range(3):
+        np.testing.assert_allclose(float(snaps[i + 1].lag.rho),
+                                   float(snaps[i].lag.rho) * g * g,
+                                   rtol=1e-5)
+
+
+def test_nbc_no_backup_single_rho_bump():
+    cfg = tiny("nbc_unicycle")
+    assert not cfg.constraint.use_backup
+    snaps, m = run_updates(cfg, 2)
+    g = cfg.constraint.rho_growth
+    np.testing.assert_allclose(float(snaps[1].lag.rho),
+                               float(snaps[0].lag.rho) * g, rtol=1e-5)
+    # backup nets untouched, barrier net trained
+    assert not _changed(snaps[0].backup_policy, snaps[-1].backup_policy)
+    assert _changed(snaps[0].barrier, snaps[-1].barrier)
+    assert float(m["barrier_td_loss"]) > 0.0
+
+
+def test_pvtol_backup_interval_gating():
+    """PVTOL updates the backup controller every 20 updates and keeps a
+    separate backup rho."""
+    cfg = tiny("pvtol")
+    assert cfg.constraint.backup_update_interval == 20
+    assert cfg.constraint.separate_backup_rho
+    snaps, _ = run_updates(cfg, 3)
+    # update 0 hits the gate (0 % 20 == 0): backup changed once
+    assert _changed(snaps[0].backup_policy, snaps[1].backup_policy)
+    # updates 1, 2 don't hit the gate: backup frozen
+    assert not _changed(snaps[1].backup_policy, snaps[2].backup_policy)
+    assert not _changed(snaps[2].backup_policy, snaps[3].backup_policy)
+    # primary rho bumps every update; backup rho only on the gated one
+    g = cfg.constraint.rho_growth
+    np.testing.assert_allclose(float(snaps[3].lag.rho),
+                               float(snaps[0].lag.rho) * g ** 3, rtol=1e-5)
+    np.testing.assert_allclose(float(snaps[3].lag.backup_rho),
+                               float(snaps[0].lag.backup_rho) * g,
+                               rtol=1e-5)
+
+
+def test_lambda_ascent_interval():
+    cfg = tiny("unicycle",
+               lambda_update_interval=2)
+    snaps, _ = run_updates(cfg, 3)
+    lam = [np.asarray(s.lag.lam) for s in snaps]
+    # updates 0 and 2 hit the gate; update 1 doesn't
+    assert not np.array_equal(lam[0], lam[1])
+    np.testing.assert_array_equal(lam[1], lam[2])
+    assert not np.array_equal(lam[2], lam[3])
+    assert np.all(lam[-1] >= 0.01 - 1e-7)
+
+
+def test_all_networks_train_and_targets_move():
+    cfg = tiny("unicycle")
+    snaps, m = run_updates(cfg, 2)
+    a, b = snaps[0], snaps[-1]
+    for name in ("policy", "backup_policy", "critic", "lyap", "node"):
+        assert _changed(getattr(a, name), getattr(b, name)), name
+    # soft targets move by tau-weighted amounts (tau=0.005 -> small)
+    assert _changed(a.critic_target, b.critic_target)
+    ta = jax.tree.leaves(a.critic_target)[0]
+    tb = jax.tree.leaves(b.critic_target)[0]
+    assert float(jnp.max(jnp.abs(ta - tb))) < 0.1
+
+
+def test_alpha_moves_toward_target_entropy():
+    cfg = tiny("unicycle")
+    snaps, m = run_updates(cfg, 4)
+    alphas = [float(jnp.exp(s.log_alpha[0])) for s in snaps]
+    assert alphas[0] == pytest.approx(1.0)
+    assert alphas[-1] != alphas[0]
+    assert np.isfinite(float(m["alpha_loss"]))
+
+
+def test_select_action_modes():
+    cfg = tiny("unicycle")
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    agent = make_agent(cfg)
+    env = get_env("unicycle")
+    _, obs = env.reset(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    sel = jax.jit(agent.select_action)
+    a_pri = sel(ts, obs, key, jnp.array(False), jnp.array(False))
+    a_bak = sel(ts, obs, key, jnp.array(False), jnp.array(True))
+    a_rnd = sel(ts, obs, key, jnp.array(True), jnp.array(False))
+    assert a_pri.shape == (2,)
+    assert not np.allclose(np.asarray(a_pri), np.asarray(a_bak))
+    low = np.array(env.SPEC.action_low)
+    high = np.array(env.SPEC.action_high)
+    for a in (a_pri, a_bak, a_rnd):
+        assert np.all(np.asarray(a) >= low - 1e-5)
+        assert np.all(np.asarray(a) <= high + 1e-5)
+
+
+def test_node_fit_gating_interval():
+    cfg = tiny("unicycle")  # update_interval=3
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    buf = fill_replay(cfg)
+    agent = make_agent(cfg)
+    upd = jax.jit(agent.update)
+    losses = []
+    for u in range(4):
+        ts, m = upd(ts, buf, buf, jax.random.PRNGKey(u), jnp.int32(0))
+        losses.append(float(m["node_loss"]))
+    # fits at updates 0 and 3 only
+    assert losses[0] > 0 and losses[3] > 0
+    assert losses[1] == 0 and losses[2] == 0
