@@ -34,7 +34,7 @@ def bench_tpu(episodes: int = 4, steps: int = 400) -> float:
         sac=dataclasses.replace(cfg.sac, start_steps=200))
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     rl, node = create_replays(cfg)
-    run = jax.jit(make_episode_runner(cfg), donate_argnums=(0, 1, 2))
+    run = jax.jit(make_episode_runner(cfg))
 
     total = jnp.int32(0)
     # episode 0: compile + warmup (excluded from timing)

@@ -132,11 +132,11 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     with timer.time("init"):
         ts = create_train_state(cfg, kinit)
         rl_replay, node_replay = create_replays(cfg)
-        # donate the train state and both replay buffers: they thread
-        # straight through to the outputs, so XLA updates them in place
-        # instead of copying ~100MB of buffers every episode
-        run_episode = jax.jit(make_episode_runner(cfg),
-                              donate_argnums=(0, 1, 2))
+        # NOTE: donating (ts, replays) would let XLA update the ~100MB of
+        # buffers in place, but buffer donation trips the axon TPU runtime
+        # (InvalidArgument at execution); the copies cost ~0.1ms/episode,
+        # so run un-donated.
+        run_episode = jax.jit(make_episode_runner(cfg))
 
     total_steps = jnp.int32(0)
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
