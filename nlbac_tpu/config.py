@@ -30,6 +30,11 @@ class NodeConfig:
     g_hidden_layers: int = 3  # g_net depth (control-affine form)
     mlp_hidden_layers: int = 3  # net depth (non-affine form)
     time_input: bool = False  # Cars appends t to the field input
+    # Quadrotor: normalize (state, action) entering the net and
+    # denormalize outputs (README.md:194-195); scales are per-dimension
+    normalize: bool = False
+    state_scale: Optional[Tuple[float, ...]] = None
+    action_scale: Optional[Tuple[float, ...]] = None
     lr: float = 1e-3  # UNI/sac_cbf_clf/sac_cbf_clf.py:133
     solver: str = "euler"  # UNI/sac_cbf_clf/sac_cbf_clf.py:132
     solver_steps: int = 1  # t_span=[0,dt] with a fixed-step method = 1 step
@@ -283,12 +288,43 @@ def _nbc_pvtol() -> NLBACConfig:
     )
 
 
+def _quadrotor() -> NLBACConfig:
+    """2-D Quadrotor (safe-control-gym workload) with a learned barrier
+    certificate and a normalized non-affine NODE. README.md:66-72,185-195;
+    the reference's submodule for this workload is empty, so behavior
+    follows the README's documentation (SURVEY.md §0)."""
+    from nlbac_tpu.envs import quadrotor as quad
+    return NLBACConfig(
+        env=EnvConfig(name="quadrotor", dt=0.02, max_episode_steps=1000,
+                      barrier_signals=True),
+        sac=SacConfig(batch_size=256, updates_per_step=1,
+                      start_steps=1000),
+        node=NodeConfig(form="mlp", state_dim=6, action_dim=2,
+                        hidden_dim=100, mlp_hidden_layers=3,
+                        normalize=True, state_scale=quad.STATE_SCALE,
+                        action_scale=quad.ACTION_SCALE),
+        constraint=ConstraintConfig(
+            kind="learned_barrier", gamma_b=1.0, gamma_l=0.1,
+            clf_time_scaled=False, use_ratio=True, ratio_floor=0.002,
+            lambda_max=400.0, horizon=1, use_backup=True,
+        ),
+        supervisor=SupervisorConfig(kind="trap", trap_threshold=0.005,
+                                    backup_max_steps=30,
+                                    escape_distance_sq=0.25),
+        replay=ReplayConfig(capacity=210_000, node_capacity=210_000),
+        run=RunConfig(max_episodes=210, save_every_fraction=2,
+                      exp_name="NBC_LBAC_Quadrotor"),
+        obs_dim=6, action_dim=2, lyap_dim=2,
+    )
+
+
 PRESETS = {
     "unicycle": _unicycle,
     "cars": _cars,
     "pvtol": _pvtol,
     "nbc_unicycle": _nbc_unicycle,
     "nbc_pvtol": _nbc_pvtol,
+    "quadrotor": _quadrotor,
 }
 
 

@@ -37,6 +37,13 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
         l_p = ccfg.lookahead
         clf_in_next = pred[:, :2] + l_p * jnp.stack(
             [jnp.cos(pred[:, 2]), jnp.sin(pred[:, 2])], axis=-1)
+    elif env_name == "quadrotor":
+        from nlbac_tpu.envs import quadrotor as quad_env
+        state = quad_env.obs_to_state(obs)
+        pred = predict_next_state(ncfg, node_params, state, action, dt,
+                                  field=field)  # (B, 6)
+        obs1 = quad_env.state_to_obs(pred)  # identity, live gradient
+        clf_in_next = jnp.stack([pred[:, 0], pred[:, 2]], axis=-1)
     elif env_name == "pvtol":
         state7 = pvtol_env.obs_to_state(obs)
         dyn1 = predict_next_state(ncfg, node_params, state7[:, :6], action,

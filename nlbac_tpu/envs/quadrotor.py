@@ -1,0 +1,145 @@
+"""2-D Quadrotor env (the reference's sixth workload).
+
+The reference points this workload at a modified safe-control-gym
+(README.md:66-72) whose submodule is EMPTY in the snapshot; its behavior
+is documented only in README.md:185-195 (SURVEY.md §0): a 2-D quadrotor
+must reach a destination while staying inside a pre-defined x/z range and
+avoiding an obstacle; reward = -distance (also the cost/Lyapunov signal),
++250 on reaching the goal; NO pre-defined CBFs — a neural barrier
+certificate is learned from barrier signals D1 = -1.0 when out of range
+and D2 = -10.0 on collision; the NODE is non-affine with NORMALIZED
+inputs (dim 8 = 6 state + 2 action) and denormalized outputs (dim 6).
+
+Physics: the standard planar quadrotor of the safe-control-gym benchmark
+(Yuan et al., 2022), Crazyflie-2 parameters, Euler-integrated:
+
+    state [x, vx, z, vz, theta, omega], action [T1, T2] (motor thrusts)
+    ax = sin(theta) (T1+T2)/m,  az = cos(theta) (T1+T2)/m - g,
+    alpha = L (T2-T1) / Iyy
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nlbac_tpu.envs.base import EnvSpec, StepOut
+
+MASS = 0.027
+ARM = 0.0397
+IYY = 1.4e-5
+GRAVITY = 9.8
+HOVER_T = MASS * GRAVITY / 2.0  # per motor
+
+GOAL = jnp.array([1.0, 1.0], jnp.float32)  # (x, z)
+GOAL_SIZE = 0.2
+REWARD_GOAL = 250.0
+X_RANGE = (-2.0, 2.0)
+Z_RANGE = (0.05, 2.0)
+OBSTACLE = jnp.array([0.0, 0.75], jnp.float32)
+OBSTACLE_RADIUS = 0.2
+INIT_STATE = jnp.array([-1.0, 0.0, 0.5, 0.0, 0.0, 0.0], jnp.float32)
+
+# barrier signals (README.md:190-192)
+BARRIER_OUT_OF_RANGE = -1.0  # D1
+BARRIER_COLLISION = -10.0  # D2
+
+SPEC = EnvSpec(
+    name="quadrotor", obs_dim=6, action_dim=2, state_dim=6, lyap_dim=2,
+    dt=0.02, max_episode_steps=1000,
+    action_low=(0.0, 0.0), action_high=(4.0 * HOVER_T, 4.0 * HOVER_T),
+)
+
+# Normalization scales for the NODE (states/actions are normalized before
+# entering the network, outputs denormalized; README.md:194-195)
+STATE_SCALE = (2.0, 2.0, 2.0, 2.0, 1.0, 5.0)
+ACTION_SCALE = (2.0 * HOVER_T, 2.0 * HOVER_T)
+
+
+class QuadrotorState(NamedTuple):
+    x: jnp.ndarray  # (6,)
+    step: jnp.ndarray  # i32
+
+
+def get_obs(x):
+    return x
+
+
+def _pos(x):
+    return jnp.stack([x[0], x[2]])
+
+
+def reset(key, max_episode_steps: int = SPEC.max_episode_steps
+          ) -> Tuple[QuadrotorState, jnp.ndarray]:
+    del key
+    st = QuadrotorState(x=INIT_STATE, step=jnp.int32(0))
+    return st, get_obs(st.x)
+
+
+def dynamics(x, u):
+    """Continuous-time planar-quadrotor derivative."""
+    t_tot = (u[0] + u[1]) / MASS
+    return jnp.stack([
+        x[1], jnp.sin(x[4]) * t_tot,
+        x[3], jnp.cos(x[4]) * t_tot - GRAVITY,
+        x[5], ARM * (u[1] - u[0]) / IYY,
+    ])
+
+
+def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
+         max_episode_steps: int = SPEC.max_episode_steps
+         ) -> Tuple[QuadrotorState, StepOut]:
+    del barrier_B  # this env defines its own two-level barrier signals
+    f32 = jnp.float32
+    x = state.x
+    lyap_t = _pos(x)
+
+    x_new = x + SPEC.dt * dynamics(x, action)
+    step_count = state.step + 1
+    pos = _pos(x_new)
+
+    dist = jnp.linalg.norm(pos - GOAL)
+    reward = -dist  # minimize distance (README.md:190)
+    goal_met = dist <= GOAL_SIZE
+    reward = reward + jnp.where(goal_met, REWARD_GOAL, 0.0)
+    done = jnp.logical_or(goal_met, step_count >= max_episode_steps)
+
+    out_of_range = jnp.logical_or(
+        jnp.logical_or(x_new[0] < X_RANGE[0], x_new[0] > X_RANGE[1]),
+        jnp.logical_or(x_new[2] < Z_RANGE[0], x_new[2] > Z_RANGE[1]))
+    d_obs = jnp.linalg.norm(pos - OBSTACLE)
+    collision = d_obs < OBSTACLE_RADIUS
+
+    barrier = (out_of_range.astype(f32) * BARRIER_OUT_OF_RANGE
+               + collision.astype(f32) * BARRIER_COLLISION)
+    n_viol = out_of_range.astype(f32) + collision.astype(f32)
+    cost = (out_of_range.astype(f32)
+            * (jnp.maximum(X_RANGE[0] - x_new[0], 0.0)
+               + jnp.maximum(x_new[0] - X_RANGE[1], 0.0)
+               + jnp.maximum(Z_RANGE[0] - x_new[2], 0.0)
+               + jnp.maximum(x_new[2] - Z_RANGE[1], 0.0))
+            + collision.astype(f32)
+            * (OBSTACLE_RADIUS - d_obs) / OBSTACLE_RADIUS)
+
+    out = StepOut(
+        obs=get_obs(x_new), reward=f32(reward), constraint=f32(dist),
+        lyap_t=lyap_t, lyap_t1=pos, barrier_signal=f32(barrier),
+        done=done, goal_met=goal_met, reached=f32(0.0),
+        num_violations=n_viol, safety_cost=f32(cost),
+        viol_breakdown=jnp.stack([collision.astype(f32),
+                                  out_of_range.astype(f32), f32(0),
+                                  f32(0)]),
+        cost_breakdown=jnp.stack([f32(cost), f32(0), f32(0), f32(0)]),
+    )
+    return QuadrotorState(x=x_new, step=step_count), out
+
+
+def obs_to_state(obs):
+    """obs == state for this env (6-d)."""
+    return obs
+
+
+def state_to_obs(state):
+    return state

@@ -70,6 +70,22 @@ def make_field(cfg: NodeConfig):
         return field
 
     if cfg.form == "mlp":
+        if cfg.normalize:
+            # Quadrotor form: normalized inputs, denormalized outputs
+            # (reference README.md:194-195)
+            sx = jnp.asarray(cfg.state_scale, jnp.float32)
+            su = jnp.asarray(cfg.action_scale, jnp.float32)
+            extra = jnp.ones((1,), jnp.float32) if cfg.time_input else \
+                jnp.zeros((0,), jnp.float32)
+            scale_in = jnp.concatenate([sx, su, extra])
+
+            def field(params, t, s):
+                dx = mlp_apply(params["net"], s / scale_in) * sx
+                tail = s[..., n_s:]
+                return jnp.concatenate([dx, jnp.zeros_like(tail)],
+                                       axis=-1)
+
+            return field
 
         def field(params, t, s):
             dx = mlp_apply(params["net"], s)

@@ -31,8 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="NLBAC-TPU training")
     p.add_argument("--preset", default="unicycle",
                    choices=["unicycle", "cars", "pvtol", "nbc_unicycle",
-                            "nbc_pvtol"],
-                   help="experiment preset (replaces the 5 program copies)")
+                            "nbc_pvtol", "quadrotor"],
+                   help="experiment preset (replaces the program copies)")
     p.add_argument("--env-name", default=None,
                    help="override env (defaults to the preset's)")
     p.add_argument("--seed", type=int, default=12345)

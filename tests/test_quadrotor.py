@@ -1,0 +1,115 @@
+"""Quadrotor workload tests: physics oracle, barrier signals, normalized
+NODE field, end-to-end episode."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlbac_tpu.agent import create_train_state
+from nlbac_tpu.config import ReplayConfig, get_config
+from nlbac_tpu.envs import quadrotor as quad
+from nlbac_tpu.nn import make_field, node_init, pack_input
+from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+
+def np_quad_rollout(actions):
+    """Independent numpy oracle of the planar-quadrotor Euler dynamics."""
+    m, L, iyy, g, dt = 0.027, 0.0397, 1.4e-5, 9.8, 0.02
+    x = np.array([-1.0, 0.0, 0.5, 0.0, 0.0, 0.0])
+    traj = []
+    for a in actions:
+        t_tot = (a[0] + a[1]) / m
+        dx = np.array([x[1], np.sin(x[4]) * t_tot,
+                       x[3], np.cos(x[4]) * t_tot - g,
+                       x[5], L * (a[1] - a[0]) / iyy])
+        x = x + dt * dx
+        traj.append(x.copy())
+    return np.array(traj)
+
+
+def test_quadrotor_physics_matches_oracle():
+    key = jax.random.PRNGKey(0)
+    actions = jax.random.uniform(key, (100, 2), minval=0.12, maxval=0.14)
+    st, obs = quad.reset(key)
+
+    def body(s, a):
+        s, out = quad.step(s, a)
+        return s, out.obs
+
+    _, obs_traj = jax.jit(
+        lambda s, a: jax.lax.scan(body, s, a))(st, actions)
+    traj = np_quad_rollout(np.asarray(actions))
+    np.testing.assert_allclose(np.asarray(obs_traj), traj, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_quadrotor_hover_is_stationary():
+    st, _ = quad.reset(jax.random.PRNGKey(0))
+    hover = jnp.array([quad.HOVER_T, quad.HOVER_T])
+    for _ in range(50):
+        st, out = quad.step(st, hover)
+    x = np.asarray(st.x)
+    np.testing.assert_allclose(x[[1, 3, 5]], 0.0, atol=1e-4)  # velocities
+    np.testing.assert_allclose(x[[0, 2]], [-1.0, 0.5], atol=1e-4)
+
+
+def test_quadrotor_barrier_signals():
+    st, _ = quad.reset(jax.random.PRNGKey(0))
+    # out of range only
+    st1 = st._replace(x=jnp.array([2.5, 0, 0.5, 0, 0, 0]))
+    _, out = quad.step(st1, jnp.array([quad.HOVER_T, quad.HOVER_T]))
+    assert float(out.barrier_signal) == -1.0
+    # collision only (inside obstacle at (0, 0.75))
+    st2 = st._replace(x=jnp.array([0.0, 0, 0.76, 0, 0, 0]))
+    _, out2 = quad.step(st2, jnp.array([quad.HOVER_T, quad.HOVER_T]))
+    assert float(out2.barrier_signal) == -10.0
+    assert float(out2.num_violations) == 1.0
+    # goal bonus
+    st3 = st._replace(x=jnp.array([1.0, 0, 1.0, 0, 0, 0]))
+    _, out3 = quad.step(st3, jnp.array([quad.HOVER_T, quad.HOVER_T]))
+    assert bool(out3.goal_met) and float(out3.reward) > 240
+
+
+def test_normalized_node_field_dims():
+    cfg = get_config("quadrotor").node
+    assert cfg.normalize and cfg.input_dim == 8
+    params = node_init(jax.random.PRNGKey(0), cfg)
+    field = make_field(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6))
+    u = jax.random.uniform(jax.random.PRNGKey(2), (4, 2), minval=0.0,
+                           maxval=0.26)
+    s = pack_input(cfg, x, u)
+    ds = field(params, 0.0, s)
+    assert ds.shape == (4, 8)
+    np.testing.assert_allclose(np.asarray(ds[:, 6:]), 0.0)
+    # denormalized output actually scales with state_scale
+    dx = np.asarray(ds[:, :6])
+    assert np.any(np.abs(dx) > 0)
+
+
+def test_quadrotor_episode_end_to_end():
+    cfg = get_config("quadrotor")
+    cfg = dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, max_episode_steps=30),
+        sac=dataclasses.replace(cfg.sac, hidden_dim=16, batch_size=8,
+                                updates_per_step=1, start_steps=5),
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 mlp_hidden_layers=1, max_batch=16,
+                                 update_interval=2),
+        replay=ReplayConfig(capacity=128, node_capacity=128),
+    )
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    run = jax.jit(make_episode_runner(cfg))
+    total = jnp.int32(0)
+    for ep in range(2):
+        ts, rl, node, m, total = run(ts, rl, node, jax.random.PRNGKey(ep),
+                                     jnp.int32(ep), total)
+    assert int(m.updates_done) > 0
+    assert np.isfinite(float(m.reward))
+    # learned-barrier TD trains in this preset
+    assert float(m.train["barrier_td_loss"]) >= 0.0
+    assert int(ts.updates) > 0
