@@ -22,6 +22,7 @@ from nlbac_tpu.constraints.common import LagrangianState
 from nlbac_tpu.nn import (
     ActionSpec,
     barrier_init,
+    deterministic_policy_init,
     gaussian_policy_init,
     lyapunov_init,
     node_init,
@@ -64,9 +65,20 @@ def make_optimizers(cfg: NLBACConfig) -> dict:
 def create_train_state(cfg: NLBACConfig, key) -> TrainState:
     ks = jax.random.split(key, 8)
     hidden = cfg.sac.hidden_dim
-    policy = gaussian_policy_init(ks[0], cfg.obs_dim, cfg.action_dim, hidden)
-    backup_policy = gaussian_policy_init(ks[1], cfg.obs_dim, cfg.action_dim,
-                                         hidden)
+    if cfg.sac.policy_type == "deterministic":
+        # The reference's --policy Deterministic branch creates no backup
+        # policy and would crash in update_parameters
+        # (UNI/sac_cbf_clf/sac_cbf_clf.py:91-95 vs :264); here both
+        # controllers get the deterministic head.
+        policy = deterministic_policy_init(ks[0], cfg.obs_dim,
+                                           cfg.action_dim, hidden)
+        backup_policy = deterministic_policy_init(ks[1], cfg.obs_dim,
+                                                  cfg.action_dim, hidden)
+    else:
+        policy = gaussian_policy_init(ks[0], cfg.obs_dim, cfg.action_dim,
+                                      hidden)
+        backup_policy = gaussian_policy_init(ks[1], cfg.obs_dim,
+                                             cfg.action_dim, hidden)
     critic = twin_q_init(ks[2], cfg.obs_dim, cfg.action_dim, hidden)
     lyap = lyapunov_init(ks[3], cfg.lyap_dim, hidden)
     barrier = barrier_init(ks[4], cfg.obs_dim, cfg.action_dim, hidden)

@@ -71,6 +71,20 @@ def make_agent(cfg: NLBACConfig) -> Agent:
     dt = cfg.env.dt
     target_entropy = -float(cfg.action_dim)
     is_nbc = ccfg.kind == "learned_barrier"
+    is_gaussian = scfg.policy_type != "deterministic"
+    entropy_tuning = scfg.automatic_entropy_tuning and is_gaussian
+
+    if is_gaussian:
+        def sample_fn(params, obs_b, key):
+            return gaussian_policy_sample(params, obs_b, key, spec)
+    else:
+        # Deterministic head: tanh(mean)*scale+bias + clipped N(0, 0.1)
+        # noise, zero log-prob, alpha forced to 0 (reference model.py:
+        # 136-168, sac_cbf_clf.py:91-95).
+        from nlbac_tpu.nn import deterministic_policy_sample
+
+        def sample_fn(params, obs_b, key):
+            return deterministic_policy_sample(params, obs_b, key, spec)
     action_low = jnp.array(env.SPEC.action_low, jnp.float32)
     action_high = jnp.array(env.SPEC.action_high, jnp.float32)
 
@@ -87,9 +101,8 @@ def make_agent(cfg: NLBACConfig) -> Agent:
         """obs: (obs_dim,). warmup/use_backup: traced bools."""
         k1, k2, k3 = jax.random.split(key, 3)
         obs_b = obs[None, :]
-        a_pri, _, _ = gaussian_policy_sample(ts.policy, obs_b, k1, spec)
-        a_bak, _, _ = gaussian_policy_sample(ts.backup_policy, obs_b, k2,
-                                             spec)
+        a_pri, _, _ = sample_fn(ts.policy, obs_b, k1)
+        a_bak, _, _ = sample_fn(ts.backup_policy, obs_b, k2)
         a_rand = jax.random.uniform(k3, (1, cfg.action_dim),
                                     minval=action_low, maxval=action_high)
         a = jnp.where(use_backup, a_bak, a_pri)
@@ -157,9 +170,10 @@ def make_agent(cfg: NLBACConfig) -> Agent:
             do_node, fit, skip, (ts.node, ts.opt["node"]))
 
         # --- 2. critic / Lyapunov / barrier TD --------------------------
-        alpha = jnp.exp(ts.log_alpha[0])
-        next_a, next_logp, _ = gaussian_policy_sample(
-            ts.policy, batch["next_obs"], keys[2], spec)
+        alpha = (jnp.exp(ts.log_alpha[0]) if is_gaussian
+                 else jnp.float32(0.0))
+        next_a, next_logp, _ = sample_fn(ts.policy, batch["next_obs"],
+                                         keys[2])
         q1_t, q2_t = twin_q_apply(ts.critic_target, batch["next_obs"],
                                   next_a)
         min_q_t = jnp.minimum(q1_t, q2_t) - alpha * next_logp
@@ -208,7 +222,7 @@ def make_agent(cfg: NLBACConfig) -> Agent:
 
         def make_resampler(policy_params, rkey):
             def resample(o, k):
-                a, _, _ = gaussian_policy_sample(policy_params, o, k, spec)
+                a, _, _ = sample_fn(policy_params, o, k)
                 return a
             del rkey
             return resample
@@ -221,7 +235,7 @@ def make_agent(cfg: NLBACConfig) -> Agent:
         )
 
         def policy_loss_fn(p):
-            pi, logp, _ = gaussian_policy_sample(p, obs, keys[3], spec)
+            pi, logp, _ = sample_fn(p, obs, keys[3])
             q1, q2 = twin_q_apply(critic, obs, pi)
             min_q = jnp.minimum(q1, q2)
             loss1 = jnp.mean(jax.lax.stop_gradient(alpha) * logp - min_q)
@@ -248,14 +262,14 @@ def make_agent(cfg: NLBACConfig) -> Agent:
         if ccfg.use_backup:
             backup_rho_in = (ts.lag.backup_rho if ccfg.separate_backup_rho
                              else rho1)
-            backup_alpha = jnp.exp(ts.backup_log_alpha[0])
+            backup_alpha = (jnp.exp(ts.backup_log_alpha[0])
+                            if is_gaussian else jnp.float32(0.0))
 
             def backup_branch(args):
                 (bp, bp_opt, bla, bla_opt, blam, brho) = args
 
                 def backup_loss_fn(p):
-                    bpi, blogp, _ = gaussian_policy_sample(p, obs, keys[5],
-                                                           spec)
+                    bpi, blogp, _ = sample_fn(p, obs, keys[5])
                     q1, q2 = twin_q_apply(critic, obs, bpi)
                     min_q = jnp.minimum(q1, q2)
                     loss1 = jnp.mean(
@@ -273,7 +287,7 @@ def make_agent(cfg: NLBACConfig) -> Agent:
                                                             bp)
                 bp = optax.apply_updates(bp, bupd)
 
-                if scfg.automatic_entropy_tuning:
+                if entropy_tuning:
                     ent_err = jax.lax.stop_gradient(
                         jnp.mean(blogp) + target_entropy)
 
@@ -307,7 +321,7 @@ def make_agent(cfg: NLBACConfig) -> Agent:
         # --- 5. primary entropy temperature ------------------------------
         log_alpha, alpha_opt = ts.log_alpha, ts.opt["alpha"]
         alpha_loss = jnp.float32(0.0)
-        if scfg.automatic_entropy_tuning:
+        if entropy_tuning:
             ent_err = jax.lax.stop_gradient(jnp.mean(logp) + target_entropy)
 
             def a_loss(la):
@@ -355,7 +369,9 @@ def make_agent(cfg: NLBACConfig) -> Agent:
         metrics = {
             "qf1_loss": qf1_loss, "qf2_loss": qf2_loss, "lf_loss": lf_loss,
             "policy_loss": policy_loss_1, "constraint_loss": policy_loss_2,
-            "alpha_loss": alpha_loss, "alpha": jnp.exp(log_alpha[0]),
+            "alpha_loss": alpha_loss,
+            "alpha": (jnp.exp(log_alpha[0]) if is_gaussian
+                      else jnp.float32(0.0)),
             "node_loss": node_fit_loss, "barrier_td_loss": barrier_td_loss,
             "rho": rho_final, "lam_max": jnp.max(lam_new),
         }

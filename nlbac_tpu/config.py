@@ -53,6 +53,7 @@ class NodeConfig:
 class SacConfig:
     """SAC hyperparameters. Reference: UNI/main.py:191-239 and agent ctor."""
 
+    policy_type: str = "gaussian"  # "gaussian" | "deterministic"
     gamma: float = 0.99
     tau: float = 0.005
     alpha_init: float = 0.2

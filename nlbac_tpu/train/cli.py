@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--output", default="output")
     p.add_argument("--mode", default="train", choices=["train", "eval"])
+    p.add_argument("--policy", default=None,
+                   choices=["Gaussian", "Deterministic"],
+                   help="Policy type (reference --policy flag)")
     # SAC
     p.add_argument("--gamma", type=float, default=None)
     p.add_argument("--tau", type=float, default=None)
@@ -85,7 +88,9 @@ def config_from_args(args) -> NLBACConfig:
 
     cfg = dataclasses.replace(
         cfg,
-        sac=rep(cfg.sac, gamma=args.gamma, tau=args.tau,
+        sac=rep(cfg.sac,
+                policy_type=(args.policy.lower() if args.policy else None),
+                gamma=args.gamma, tau=args.tau,
                 policy_lr=args.lr, alpha_init=args.alpha,
                 batch_size=args.batch_size, hidden_dim=args.hidden_size,
                 updates_per_step=args.updates_per_step,

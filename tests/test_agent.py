@@ -182,3 +182,28 @@ def test_node_fit_gating_interval():
     # fits at updates 0 and 3 only
     assert losses[0] > 0 and losses[3] > 0
     assert losses[1] == 0 and losses[2] == 0
+
+
+def test_deterministic_policy_mode():
+    """The reference's --policy Deterministic branch: clipped-noise
+    deterministic head, alpha forced to 0, no entropy tuning (and unlike
+    the reference, the backup controller still works)."""
+    cfg = tiny("unicycle")
+    cfg = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac, policy_type="deterministic"))
+    snaps, m = run_updates(cfg, 2)
+    assert float(m["alpha"]) == 0.0
+    assert float(m["alpha_loss"]) == 0.0
+    # log_alpha untouched in deterministic mode
+    np.testing.assert_array_equal(np.asarray(snaps[0].log_alpha),
+                                  np.asarray(snaps[-1].log_alpha))
+    assert _changed(snaps[0].policy, snaps[-1].policy)
+    # actions respect bounds with the clipped-noise head
+    agent = make_agent(cfg)
+    env = get_env("unicycle")
+    _, obs = env.reset(jax.random.PRNGKey(0))
+    a = agent.select_action(snaps[-1], obs, jax.random.PRNGKey(1),
+                            jnp.array(False), jnp.array(False))
+    low = np.array(env.SPEC.action_low) - 0.26  # noise clip margin
+    high = np.array(env.SPEC.action_high) + 0.26
+    assert np.all(np.asarray(a) >= low) and np.all(np.asarray(a) <= high)
