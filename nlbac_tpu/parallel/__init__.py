@@ -5,4 +5,5 @@ from nlbac_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_seed_parallel_runner,
     proc_id,
+    statistics_scalar,
 )

@@ -62,6 +62,18 @@ def is_rank0() -> bool:
     return proc_id() == 0
 
 
+def statistics_scalar(x, with_min_and_max: bool = False):
+    """Mean/std (optionally min/max) of per-seed scalars — the
+    mpi_statistics_scalar equivalent (UNI/utils/mpi_tools.py:58-92) over
+    the seed axis instead of MPI ranks."""
+    x = jnp.asarray(x, jnp.float32)
+    mean = jnp.mean(x)
+    std = jnp.std(x)
+    if with_min_and_max:
+        return mean, std, jnp.min(x), jnp.max(x)
+    return mean, std
+
+
 # ---------------------------------------------------------------------------
 # Seed-parallel training
 # ---------------------------------------------------------------------------

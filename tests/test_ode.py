@@ -129,3 +129,22 @@ def test_solvers_jit_and_vmap():
     assert out.shape == (16, 4)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(y0) * np.exp(-0.1), rtol=1e-5)
+
+
+def test_node_predict_with_dopri5_solver():
+    """The solver stack is a config string away from adaptive integration
+    (the capability torchdiffeq nominally offered the reference)."""
+    import dataclasses
+    from nlbac_tpu.config import NodeConfig
+    from nlbac_tpu.nn import make_field, node_init, predict_next_state
+    cfg = NodeConfig(form="control_affine", state_dim=3, action_dim=2,
+                     hidden_dim=16, f_hidden_layers=1, g_hidden_layers=1,
+                     solver="dopri5")
+    params = node_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+    u = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    pred_adaptive = predict_next_state(cfg, params, x, u, 0.02)
+    cfg_rk = dataclasses.replace(cfg, solver="rk4", solver_steps=8)
+    pred_rk = predict_next_state(cfg_rk, params, x, u, 0.02)
+    np.testing.assert_allclose(np.asarray(pred_adaptive),
+                               np.asarray(pred_rk), atol=1e-4)

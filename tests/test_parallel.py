@@ -99,3 +99,13 @@ def test_graft_entry_points():
     assert action.shape == (256, 2)
     assert terms.shape == (256, 8)
     g.dryrun_multichip(8)
+
+
+def test_statistics_scalar():
+    from nlbac_tpu.parallel import statistics_scalar
+    x = jnp.array([1.0, 2.0, 3.0, 6.0])
+    m, s, lo, hi = statistics_scalar(x, with_min_and_max=True)
+    np.testing.assert_allclose(float(m), 3.0)
+    np.testing.assert_allclose(float(lo), 1.0)
+    np.testing.assert_allclose(float(hi), 6.0)
+    np.testing.assert_allclose(float(s), np.std([1, 2, 3, 6.0]), rtol=1e-6)
