@@ -24,6 +24,8 @@ import time
 def bench_tpu(episodes: int = 4, steps: int = 400) -> float:
     import jax
     import jax.numpy as jnp
+    from nlbac_tpu.train.cli import enable_compilation_cache
+    enable_compilation_cache()
     from nlbac_tpu.agent import create_train_state
     from nlbac_tpu.config import get_config
     from nlbac_tpu.train.driver import create_replays, make_episode_runner

@@ -120,6 +120,16 @@ def config_from_args(args) -> NLBACConfig:
     return cfg
 
 
+def enable_compilation_cache(path: str = "/tmp/jax_cache_nlbac") -> None:
+    """Persistent XLA compilation cache: the fused episode program takes
+    minutes to compile on the remote TPU compiler; cache it across runs."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without the knob
+
+
 def train(cfg: NLBACConfig, output_dir: str | None = None,
           quiet: bool = False, checkpoint_path: str | None = None,
           profile_dir: str | None = None):
@@ -227,6 +237,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    enable_compilation_cache()
     if args.mode == "eval":
         # evaluate reference-layout weights from --output (which then
         # points at a run directory, not a parent folder)
