@@ -22,8 +22,7 @@ Returns (TrainState, metrics-dict) — the reference's 6-tuple plus extras.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

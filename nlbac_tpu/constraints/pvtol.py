@@ -20,8 +20,6 @@ prediction, residual (L1 - L0)/1.0 + 0.1 L0 (ref :479-481).
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,7 @@ with EnvState a NamedTuple of arrays (device-resident, functional).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ through a single Euler step over [0, dt]
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,6 @@ from s=t0 (with (y1, dL/dy1, 0)) to s=t1, using the same RK method.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

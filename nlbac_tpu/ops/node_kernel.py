@@ -23,11 +23,8 @@ Enable via NodeConfig(use_pallas=True); requires form='control_affine'.
 from __future__ import annotations
 
 import functools
-from typing import List
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nlbac_tpu.config import NodeConfig
 

@@ -20,7 +20,7 @@ reference's ``proc_id()==0`` convention.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

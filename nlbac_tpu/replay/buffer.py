@@ -14,7 +14,7 @@ barrier_signal, next_obs, mask, t, next_t
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Optional
-
 import numpy as np
 
 _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
