@@ -1,0 +1,61 @@
+"""CLI integration: config-from-args mapping and a tiny end-to-end
+train() producing progress.txt, config.json, weights, and a resumable
+checkpoint."""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from nlbac_tpu.config import ReplayConfig
+from nlbac_tpu.train.cli import build_parser, config_from_args, train
+
+
+def test_config_from_args_mapping():
+    args = build_parser().parse_args([
+        "--preset", "cars", "--gamma_b", "0.7", "--batch_size", "64",
+        "--lr", "1e-4", "--NODE_model_update_interval", "5",
+        "--Lagrangian_multiplier_update_interval", "4",
+        "--max_episodes", "7", "--seed", "3", "--policy", "Deterministic",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.env.name == "cars"
+    assert cfg.constraint.gamma_b == 0.7
+    assert cfg.sac.batch_size == 64
+    assert cfg.sac.policy_lr == 1e-4
+    assert cfg.sac.policy_type == "deterministic"
+    assert cfg.node.update_interval == 5
+    assert cfg.constraint.lambda_update_interval == 4
+    assert cfg.run.max_episodes == 7
+    assert cfg.run.seed == 3
+    # untouched fields keep preset values
+    assert cfg.constraint.horizon == 2
+    assert cfg.node.time_input
+
+
+def test_train_writes_all_artifacts(tmp_path):
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "12", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out = str(tmp_path / "run")
+    train(cfg, output_dir=out, quiet=True)
+
+    for f in ("progress.txt", "config.json", "actor.pkl", "critic.pkl",
+              "lyapunov.pkl", "node_model.pkl", "checkpoint.msgpack"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(os.path.join(out, "progress.txt"))
+    assert len(cols["Episode"]) == 2
+    assert np.all(np.isfinite(cols["reward_train"]))
+    assert np.all(cols["episode_steps"] <= 12)
