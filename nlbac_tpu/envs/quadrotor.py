@@ -11,11 +11,19 @@ and D2 = -10.0 on collision; the NODE is non-affine with NORMALIZED
 inputs (dim 8 = 6 state + 2 action) and denormalized outputs (dim 6).
 
 Physics: the standard planar quadrotor of the safe-control-gym benchmark
-(Yuan et al., 2022), Crazyflie-2 parameters, Euler-integrated:
+(Yuan et al., 2022), Euler-integrated:
 
     state [x, vx, z, vz, theta, omega], action [T1, T2] (motor thrusts)
     ax = sin(theta) (T1+T2)/m,  az = cos(theta) (T1+T2)/m - g,
     alpha = L (T2-T1) / Iyy
+
+Parameters are a generic planar quadrotor (the reference's submodule is
+empty, so none are pinned): Crazyflie-2's Iyy makes raw-thrust attitude
+control explode under random warm-up actions (hundreds of rad/s^2), which
+no RL agent recovers from at dt=0.02.  Like safe-control-gym, episodes
+also TERMINATE when the vehicle leaves a kill box well outside the
+constraint range — without it random actions integrate the state to
+unbounded positions and learning signal vanishes.
 """
 
 from __future__ import annotations
@@ -26,11 +34,13 @@ import jax.numpy as jnp
 
 from nlbac_tpu.envs.base import EnvSpec, StepOut
 
-MASS = 0.027
-ARM = 0.0397
-IYY = 1.4e-5
+MASS = 0.5
+ARM = 0.2
+IYY = 0.01
 GRAVITY = 9.8
 HOVER_T = MASS * GRAVITY / 2.0  # per motor
+KILL_X = 3.0
+KILL_Z = (-0.5, 3.0)
 
 GOAL = jnp.array([1.0, 1.0], jnp.float32)  # (x, z)
 GOAL_SIZE = 0.2
@@ -48,11 +58,11 @@ BARRIER_COLLISION = -10.0  # D2
 SPEC = EnvSpec(
     name="quadrotor", obs_dim=6, action_dim=2, state_dim=6, lyap_dim=2,
     dt=0.02, max_episode_steps=1000,
-    action_low=(0.0, 0.0), action_high=(4.0 * HOVER_T, 4.0 * HOVER_T),
+    action_low=(0.0, 0.0), action_high=(2.0 * HOVER_T, 2.0 * HOVER_T),
 )
 
 # Normalization scales for the NODE (states/actions are normalized before
-# entering the network, outputs denormalized; README.md:194-195)
+# entering the network, denormalized outputs; README.md:194-195)
 STATE_SCALE = (2.0, 2.0, 2.0, 2.0, 1.0, 5.0)
 ACTION_SCALE = (2.0 * HOVER_T, 2.0 * HOVER_T)
 
@@ -103,7 +113,11 @@ def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
     reward = -dist  # minimize distance (README.md:190)
     goal_met = dist <= GOAL_SIZE
     reward = reward + jnp.where(goal_met, REWARD_GOAL, 0.0)
-    done = jnp.logical_or(goal_met, step_count >= max_episode_steps)
+    killed = jnp.logical_or(
+        jnp.abs(x_new[0]) > KILL_X,
+        jnp.logical_or(x_new[2] < KILL_Z[0], x_new[2] > KILL_Z[1]))
+    done = jnp.logical_or(jnp.logical_or(goal_met, killed),
+                          step_count >= max_episode_steps)
 
     out_of_range = jnp.logical_or(
         jnp.logical_or(x_new[0] < X_RANGE[0], x_new[0] > X_RANGE[1]),

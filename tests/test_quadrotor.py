@@ -16,7 +16,7 @@ from nlbac_tpu.train.driver import create_replays, make_episode_runner
 
 def np_quad_rollout(actions):
     """Independent numpy oracle of the planar-quadrotor Euler dynamics."""
-    m, L, iyy, g, dt = 0.027, 0.0397, 1.4e-5, 9.8, 0.02
+    m, L, iyy, g, dt = quad.MASS, quad.ARM, quad.IYY, 9.8, 0.02
     x = np.array([-1.0, 0.0, 0.5, 0.0, 0.0, 0.0])
     traj = []
     for a in actions:
@@ -31,7 +31,9 @@ def np_quad_rollout(actions):
 
 def test_quadrotor_physics_matches_oracle():
     key = jax.random.PRNGKey(0)
-    actions = jax.random.uniform(key, (100, 2), minval=0.12, maxval=0.14)
+    actions = jax.random.uniform(key, (100, 2),
+                                 minval=0.95 * quad.HOVER_T,
+                                 maxval=1.05 * quad.HOVER_T)
     st, obs = quad.reset(key)
 
     def body(s, a):
