@@ -58,7 +58,11 @@ BARRIER_COLLISION = -10.0  # D2
 SPEC = EnvSpec(
     name="quadrotor", obs_dim=6, action_dim=2, state_dim=6, lyap_dim=2,
     dt=0.02, max_episode_steps=1000,
-    action_low=(0.0, 0.0), action_high=(2.0 * HOVER_T, 2.0 * HOVER_T),
+    # hover +/- 30% per motor: enough authority to climb, descend and
+    # pitch (theta_ddot up to ~29 rad/s^2) without random warm-up actions
+    # instantly tumbling the vehicle into the kill box
+    action_low=(0.7 * HOVER_T, 0.7 * HOVER_T),
+    action_high=(1.3 * HOVER_T, 1.3 * HOVER_T),
 )
 
 # Normalization scales for the NODE (states/actions are normalized before
