@@ -122,6 +122,55 @@ def make_seed_parallel_runner(cfg: NLBACConfig, mesh: Mesh,
     return init_fn, run_fn
 
 
+def make_async_seed_runner(cfg: NLBACConfig, devices=None):
+    """Fast seed-parallel training: one independent training state PER
+    DEVICE, advanced by async dispatch of the PLAIN (unbatched) episode
+    program — each chip runs at full single-chip speed.
+
+    This is the high-throughput alternative to the mesh/vmap runner
+    above: vmapping the episode over a seed axis turns the replay's
+    dynamic-update-slices into scatters and lockstep-masks the
+    while_loop (~2.3x slower per seed measured on v5e), and shard_map
+    with manual layouts measured far worse. Async dispatch costs only
+    ~ms per call and the episodes overlap across devices.
+
+    Returns (states, step_fn): ``states`` is a list of per-device
+    (ts, rl, node, key, total) tuples; ``step_fn(states, i_episode)``
+    advances every seed one episode and returns (states, metrics_list).
+    """
+    devices = devices if devices is not None else jax.devices()
+    run = jax.jit(make_episode_runner(cfg))
+
+    def init_fn(base_seed: int):
+        states = []
+        for i, dev in enumerate(devices):
+            key = jax.random.PRNGKey(base_seed + i)
+            key, kinit = jax.random.split(key)
+            ts = create_train_state(cfg, kinit)
+            rl, node = create_replays(cfg)
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, dev), t)
+            states.append([put(ts), put(rl), put(node),
+                           jax.device_put(key, dev),
+                           jax.device_put(jnp.int32(0), dev)])
+        return states
+
+    def step_fn(states, i_episode):
+        metrics = []
+        # dispatch all devices first (async), then collect
+        for st in states:
+            ts, rl, node, key, total = st
+            key, kep = jax.random.split(key)
+            ts, rl, node, m, total = run(ts, rl, node, kep,
+                                         jnp.int32(i_episode), total)
+            st[0], st[1], st[2], st[3], st[4] = ts, rl, node, key, total
+            metrics.append(m)
+        jax.block_until_ready([m.reward for m in metrics])
+        return states, metrics
+
+    return init_fn, step_fn
+
+
 # ---------------------------------------------------------------------------
 # Data-parallel update
 # ---------------------------------------------------------------------------

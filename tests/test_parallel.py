@@ -109,3 +109,24 @@ def test_statistics_scalar():
     np.testing.assert_allclose(float(lo), 1.0)
     np.testing.assert_allclose(float(hi), 6.0)
     np.testing.assert_allclose(float(s), np.std([1, 2, 3, 6.0]), rtol=1e-6)
+
+
+def test_async_seed_runner_per_device():
+    """Per-device async dispatch of the plain episode program — the fast
+    seed-parallel path."""
+    from nlbac_tpu.parallel import make_async_seed_runner
+    cfg = tiny_cfg()
+    devices = jax.devices()[:4]
+    init_fn, step_fn = make_async_seed_runner(cfg, devices=devices)
+    states = init_fn(0)
+    assert len(states) == 4
+    for ep in range(2):
+        states, metrics = step_fn(states, ep)
+    rewards = [float(m.reward) for m in metrics]
+    assert len(rewards) == 4 and all(np.isfinite(r) for r in rewards)
+    # seeds differ -> trajectories differ
+    assert len(set(round(r, 4) for r in rewards)) > 1
+    # states stayed on their devices
+    for st, dev in zip(states, devices):
+        leaf = jax.tree.leaves(st[0])[0]
+        assert list(leaf.devices())[0] == dev
