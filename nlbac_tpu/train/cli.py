@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="full-state checkpoint path to write")
+    p.add_argument("--resume", default=None,
+                   help="full-state checkpoint to resume from (true "
+                        "resume: params/opt/lambda/rho/replay/PRNG)")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace dir (first episode)")
     return p
@@ -132,7 +135,7 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache_nlbac") -> None:
 
 def train(cfg: NLBACConfig, output_dir: str | None = None,
           quiet: bool = False, checkpoint_path: str | None = None,
-          profile_dir: str | None = None):
+          profile_dir: str | None = None, resume_path: str | None = None):
     """The training loop (UNI/main.py train() equivalent)."""
     logger_dir = output_dir
     logger = EpochLogger(logger_dir, quiet=quiet)
@@ -144,20 +147,31 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
 
     key = jax.random.PRNGKey(cfg.run.seed)
     key, kinit = jax.random.split(key)
+    start_episode = 0
     with timer.time("init"):
         ts = create_train_state(cfg, kinit)
         rl_replay, node_replay = create_replays(cfg)
+        if resume_path is not None:
+            from nlbac_tpu.train.checkpoint import restore_checkpoint
+            (ts, rl_replay, node_replay, key, total0, ep0, _extra) = \
+                restore_checkpoint(resume_path, ts, rl_replay,
+                                   node_replay, key)
+            start_episode = int(ep0) + 1
+            print(colorize(f"resumed from {resume_path} at episode "
+                           f"{start_episode} ({int(total0)} steps)",
+                           "yellow"))
         # NOTE: donating (ts, replays) would let XLA update the ~100MB of
         # buffers in place, but buffer donation trips the axon TPU runtime
         # (InvalidArgument at execution); the copies cost ~0.1ms/episode,
         # so run un-donated.
         run_episode = jax.jit(make_episode_runner(cfg))
 
-    total_steps = jnp.int32(0)
+    total_steps = (jnp.int32(total0) if resume_path is not None
+                   else jnp.int32(0))
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
     is_nbc = cfg.constraint.kind == "learned_barrier"
 
-    for i_episode in range(cfg.run.max_episodes):
+    for i_episode in range(start_episode, cfg.run.max_episodes):
         key, kep = jax.random.split(key)
         phase = "episode_first" if i_episode == 0 else "episode"
         with timer.time(phase):
@@ -256,7 +270,8 @@ def main(argv=None):
                    f"backend={jax.default_backend()} -> {out}", "green",
                    bold=True))
     train(cfg, output_dir=lk["output_dir"], quiet=args.quiet,
-          checkpoint_path=args.checkpoint, profile_dir=args.profile_dir)
+          checkpoint_path=args.checkpoint, profile_dir=args.profile_dir,
+          resume_path=args.resume)
 
 
 if __name__ == "__main__":

@@ -59,3 +59,36 @@ def test_train_writes_all_artifacts(tmp_path):
     assert len(cols["Episode"]) == 2
     assert np.all(np.isfinite(cols["reward_train"]))
     assert np.all(cols["episode_steps"] <= 12)
+
+
+def test_train_resume_from_checkpoint(tmp_path):
+    """--resume continues a run from the full-state checkpoint."""
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "10", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out1 = str(tmp_path / "a")
+    train(cfg, output_dir=out1, quiet=True)
+    ckpt = os.path.join(out1, "checkpoint.msgpack")
+    assert os.path.exists(ckpt)
+
+    # resume with a larger budget: runs only the remaining episodes
+    cfg2 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, max_episodes=4))
+    out2 = str(tmp_path / "b")
+    train(cfg2, output_dir=out2, quiet=True, resume_path=ckpt)
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(os.path.join(out2, "progress.txt"))
+    # resumed at episode 2 -> episodes 2 and 3 logged
+    assert list(cols["Episode"]) == [2.0, 3.0]
+    # total step counter carried over (10 steps/ep * 2 prior episodes)
+    assert cols["episode_steps"][0] <= 10
