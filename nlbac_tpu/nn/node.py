@@ -55,14 +55,15 @@ def make_field(cfg: NodeConfig):
     packed vector integrates under any solver (ZOH control).
     """
     n_s, n_u = cfg.state_dim, cfg.action_dim
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     if cfg.form == "control_affine":
 
         def field(params, t, s):
             x = s[..., :n_s]
             u = s[..., n_s:n_s + n_u]
-            f_x = mlp_apply(params["f"], x)
-            g_x = mlp_apply(params["g"], x)
+            f_x = mlp_apply(params["f"], x, compute_dtype=cdt)
+            g_x = mlp_apply(params["g"], x, compute_dtype=cdt)
             g_x = g_x.reshape(g_x.shape[:-1] + (n_s, n_u))
             dx = f_x + jnp.einsum("...ij,...j->...i", g_x, u)
             return jnp.concatenate([dx, jnp.zeros_like(u)], axis=-1)
@@ -80,7 +81,8 @@ def make_field(cfg: NodeConfig):
             scale_in = jnp.concatenate([sx, su, extra])
 
             def field(params, t, s):
-                dx = mlp_apply(params["net"], s / scale_in) * sx
+                dx = mlp_apply(params["net"], s / scale_in,
+                               compute_dtype=cdt) * sx
                 tail = s[..., n_s:]
                 return jnp.concatenate([dx, jnp.zeros_like(tail)],
                                        axis=-1)
@@ -88,7 +90,7 @@ def make_field(cfg: NodeConfig):
             return field
 
         def field(params, t, s):
-            dx = mlp_apply(params["net"], s)
+            dx = mlp_apply(params["net"], s, compute_dtype=cdt)
             tail = s[..., n_s:]
             return jnp.concatenate([dx, jnp.zeros_like(tail)], axis=-1)
 

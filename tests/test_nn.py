@@ -175,3 +175,22 @@ def test_node_fit_learns_linear_dynamics():
     for _ in range(200):
         params, opt_state, loss = step(params, opt_state)
     assert float(loss) < float(loss0) * 0.05, (float(loss0), float(loss))
+
+
+def test_node_field_bf16_compute_option():
+    """compute_dtype='bfloat16' keeps f32 inputs/outputs and stays close
+    to the f32 field."""
+    import dataclasses
+    cfg = NodeConfig(form="control_affine", state_dim=3, action_dim=2,
+                     hidden_dim=32, f_hidden_layers=2, g_hidden_layers=2)
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    params = node_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+    u = jax.random.normal(jax.random.PRNGKey(2), (16, 2))
+    s = pack_input(cfg, x, u)
+    f32 = make_field(cfg)(params, 0.0, s)
+    bf16 = make_field(cfg_bf)(params, 0.0, s)
+    assert bf16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                               atol=0.1, rtol=0.1)
+    assert not np.array_equal(np.asarray(bf16), np.asarray(f32))
