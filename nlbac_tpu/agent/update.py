@@ -29,13 +29,14 @@ import jax.numpy as jnp
 import optax
 
 from nlbac_tpu import replay as replay_lib
-from nlbac_tpu.agent.state import TrainState, action_spec, make_optimizers
+from nlbac_tpu.agent.state import TrainState, make_optimizers
 from nlbac_tpu.config import NLBACConfig
 from nlbac_tpu.constraints import backup_loss as lag_backup_loss
 from nlbac_tpu.constraints import get_builder
 from nlbac_tpu.constraints import primary_loss as lag_primary_loss
 from nlbac_tpu.envs import get_env
 from nlbac_tpu.nn import (
+    ActionSpec,
     barrier_apply,
     gaussian_policy_sample,
     lyapunov_apply,
@@ -60,11 +61,17 @@ class Agent(NamedTuple):
     node_fit: Callable
 
 
-def make_agent(cfg: NLBACConfig) -> Agent:
-    env = get_env(cfg.env.name)
+def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
+    """``env_override`` substitutes a non-registry environment (e.g. a
+    HostEnvAdapter wrapping safe-control-gym). It must expose SPEC plus
+    obs_to_state / state_to_obs adapters (identity for envs whose obs IS
+    the NODE state)."""
+    env = env_override if env_override is not None else \
+        get_env(cfg.env.name)
     builder = get_builder(cfg.constraint.kind)
     field = make_field(cfg.node)
-    spec = action_spec(cfg)
+    spec = ActionSpec.from_bounds(jnp.array(env.SPEC.action_low),
+                                  jnp.array(env.SPEC.action_high))
     opts = make_optimizers(cfg)
     ccfg, ncfg, scfg = cfg.constraint, cfg.node, cfg.sac
     dt = cfg.env.dt
@@ -88,10 +95,12 @@ def make_agent(cfg: NLBACConfig) -> Agent:
     action_high = jnp.array(env.SPEC.action_high, jnp.float32)
 
     # obs -> NODE-state adapter (UNI/sac_cbf_clf/dynamics.py per variant)
-    if cfg.env.name == "pvtol":
+    if env_override is None and cfg.env.name == "pvtol":
         obs_to_node_state = env.obs_to_dynamics_state
-    else:
+    elif hasattr(env, "obs_to_state"):
         obs_to_node_state = env.obs_to_state
+    else:
+        obs_to_node_state = lambda obs: obs  # host env: obs IS the state
 
     # ------------------------------------------------------------------
     # Action selection (UNI/sac_cbf_clf/sac_cbf_clf.py:136-177)

@@ -52,6 +52,14 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
         s1 = jnp.concatenate([dyn1, op1[:, None]], axis=1)
         obs1 = pvtol_env.state_to_obs(s1)  # (B, 11) live
         clf_in_next = obs1
+    elif env_name == "identity":
+        # generic host env whose observation IS the NODE state (e.g. a
+        # HostEnvAdapter around safe-control-gym): predict directly in
+        # obs space; CLF input = the predicted obs
+        pred = predict_next_state(ncfg, node_params, obs, action, dt,
+                                  field=field)
+        obs1 = pred
+        clf_in_next = pred
     else:
         raise ValueError(f"learned_barrier: unsupported env {env_name!r}")
 

@@ -75,12 +75,18 @@ def _zero_train_metrics():
              "barrier_td_loss", "rho", "lam_max")}
 
 
-def make_episode_runner(cfg: NLBACConfig):
+def make_episode_runner(cfg: NLBACConfig, env_override=None):
     """Build ``run_episode(ts, rl_replay, node_replay, key, i_episode,
     total_steps) -> (ts, rl_replay, node_replay, EpisodeMetrics,
-    total_steps)`` — jit it once, reuse across episodes."""
-    env = get_env(cfg.env.name)
-    agent = make_agent(cfg)
+    total_steps)`` — jit it once, reuse across episodes.
+
+    ``env_override`` runs a non-registry env (e.g. a HostEnvAdapter for
+    safe-control-gym physics) under the same fused loop; note host envs
+    step through ordered io_callbacks, so the loop is only as fast as the
+    host physics."""
+    env = env_override if env_override is not None else \
+        get_env(cfg.env.name)
+    agent = make_agent(cfg, env_override=env_override)
     scfg, ccfg = cfg.sac, cfg.constraint
     dt = cfg.env.dt
     max_steps = cfg.env.max_episode_steps
@@ -193,8 +199,9 @@ def make_episode_runner(cfg: NLBACConfig):
     return run_episode
 
 
-def create_replays(cfg: NLBACConfig):
-    env = get_env(cfg.env.name)
+def create_replays(cfg: NLBACConfig, env_override=None):
+    env = env_override if env_override is not None else \
+        get_env(cfg.env.name)
     spec = env.SPEC
     rl = replay_lib.create(cfg.replay.capacity, spec.obs_dim,
                            spec.action_dim, spec.lyap_dim)

@@ -163,3 +163,75 @@ def test_host_env_adapter_under_jit():
     total, dones = roll(state)
     assert bool(dones[-1]) and not bool(dones[0])
     assert float(total) < 0
+
+
+def test_host_env_full_training_loop():
+    """Train end-to-end against a HOST environment through the fused
+    episode loop (the safe-control-gym integration path): env physics on
+    the host via io_callback, learned barrier in 'identity' obs space."""
+    import dataclasses
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.config import (ConstraintConfig, EnvConfig, NodeConfig,
+                                  ReplayConfig, SacConfig,
+                                  SupervisorConfig, get_config)
+    from nlbac_tpu.envs.base import EnvSpec
+    from nlbac_tpu.envs.host_adapter import HostEnvAdapter
+    from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+    class HostPointMass:
+        """Host-side 1-D point mass with the extended step API (with a
+        barrier signal field, like the NBC variants)."""
+
+        def __init__(self):
+            self.x = np.zeros(2, np.float32)  # [pos, vel]
+            self.steps = 0
+
+        def reset(self):
+            self.x = np.zeros(2, np.float32)
+            self.steps = 0
+            return self.x.copy()
+
+        def step(self, a):
+            self.x[1] += 0.1 * float(a[0])
+            self.x[0] += 0.1 * self.x[1]
+            self.steps += 1
+            done = self.steps >= 8
+            barrier = -1.0 if abs(self.x[0]) > 0.5 else 0.0
+            lyap = self.x.copy()
+            info = {"num_safety_violation": int(barrier < 0),
+                    "safety_cost": max(0.0, abs(self.x[0]) - 0.5)}
+            return (self.x.copy(), -abs(self.x[0] - 0.3),
+                    abs(self.x[0] - 0.3), barrier, lyap, lyap, done, info)
+
+    spec = EnvSpec(name="identity", obs_dim=2, action_dim=1, state_dim=2,
+                   lyap_dim=2, dt=0.1, max_episode_steps=8,
+                   action_low=(-1.0,), action_high=(1.0,))
+    adapter = HostEnvAdapter(HostPointMass(), spec,
+                             has_barrier_signal=True)
+
+    cfg = get_config("nbc_unicycle")
+    cfg = dataclasses.replace(
+        cfg,
+        env=EnvConfig(name="identity", dt=0.1, max_episode_steps=8,
+                      barrier_signals=True),
+        sac=dataclasses.replace(cfg.sac, hidden_dim=8, batch_size=4,
+                                updates_per_step=1, start_steps=4),
+        node=NodeConfig(form="mlp", state_dim=2, action_dim=1,
+                        hidden_dim=8, mlp_hidden_layers=1, max_batch=8,
+                        update_interval=2),
+        constraint=dataclasses.replace(cfg.constraint, use_backup=False),
+        supervisor=SupervisorConfig(kind="none"),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+        obs_dim=2, action_dim=1, lyap_dim=2,
+    )
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg, env_override=adapter)
+    run = jax.jit(make_episode_runner(cfg, env_override=adapter))
+    total = jnp.int32(0)
+    for ep in range(2):
+        ts, rl, node, m, total = run(ts, rl, node, jax.random.PRNGKey(ep),
+                                     jnp.int32(ep), total)
+    assert int(m.steps) == 8
+    assert int(m.updates_done) > 0
+    assert np.isfinite(float(m.reward))
+    assert int(node.size) == int(total) == 16
