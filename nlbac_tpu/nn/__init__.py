@@ -20,6 +20,8 @@ from nlbac_tpu.nn.critics import (  # noqa: F401
     soft_update,
     twin_q_apply,
     twin_q_init,
+    value_apply,
+    value_init,
 )
 from nlbac_tpu.nn.node import (  # noqa: F401
     make_field,

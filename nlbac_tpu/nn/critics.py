@@ -25,6 +25,16 @@ def twin_q_apply(params, obs, action):
     return mlp_apply(params["q1"], xu), mlp_apply(params["q2"], xu)
 
 
+def value_init(key, obs_dim: int, hidden: int):
+    """State-value network (the reference carries an unused ValueNetwork,
+    UNI/sac_cbf_clf/model.py:20-34; provided for API completeness)."""
+    return mlp_init(key, [obs_dim, hidden, hidden, 1])
+
+
+def value_apply(params, obs):
+    return mlp_apply(params, obs)
+
+
 def lyapunov_init(key, in_dim: int, hidden: int):
     return mlp_init(key, [in_dim, hidden, hidden, 1])
 
