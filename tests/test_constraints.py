@@ -223,3 +223,83 @@ def test_learned_barrier_builder():
             lyap_params=lyap, obs=obs, action=jnp.zeros((4, 2)),
             lyap_t=jnp.zeros((4, 2)), key=jax.random.PRNGKey(4), dt=0.02,
             env_name="cars", barrier_params=barrier, resample=resample)
+
+
+def test_cars_hocbf_zero_prediction_identity():
+    """With a zero vector field every predicted horizon equals the state,
+    so the rel-degree-2 HOCBF collapses to -gamma_b^2 * h0 (from
+    l1 = l2 = gamma_b*h0 => -(l2-l1) - gamma_b*l1)."""
+    from nlbac_tpu.constraints import cars as ccars
+    from nlbac_tpu.envs import cars as ecars
+    cfg = get_config("cars").constraint
+    ncfg = dataclasses.replace(get_config("cars").node, hidden_dim=8,
+                               mlp_hidden_layers=1)
+    nparams = jax.tree.map(jnp.zeros_like,
+                           node_init(jax.random.PRNGKey(0), ncfg))
+    field = make_field(ncfg)
+    lyap = lyapunov_init(jax.random.PRNGKey(1), 4, 8)
+    st, obs = ecars.reset(jax.random.PRNGKey(2))
+    obs_b = obs[None, :]
+    x = np.asarray(ecars.obs_to_state(obs_b))
+
+    def resample(o, k):
+        return jnp.zeros((o.shape[0], 1))
+
+    tms = ccars.terms(cfg, ncfg, nparams, field, lyap, obs_b,
+                      jnp.zeros((1, 1)), jnp.zeros((1, 4)),
+                      jax.random.PRNGKey(3), 0.02,
+                      t=jnp.zeros((1, 1)), next_t=jnp.full((1, 1), 0.02),
+                      resample=resample, include_clf=False)
+    h23 = x[0, 4] - x[0, 6] - 4.5
+    h34 = x[0, 6] - x[0, 8] - 4.5
+    expect = -cfg.gamma_b ** 2 * np.array([h23, h34])
+    np.testing.assert_allclose(np.asarray(tms[0]), expect, rtol=1e-4)
+
+
+def test_pvtol_hocbf_zero_prediction_identity():
+    """Zero field => all four horizons share h, and the rel-degree-3
+    composition collapses to -gamma_b^3 * h0."""
+    from nlbac_tpu.constraints import pvtol as cpv
+    from nlbac_tpu.envs import pvtol as epv
+    base = get_config("pvtol")
+    cfg = base.constraint
+    ncfg = dataclasses.replace(base.node, hidden_dim=8, f_hidden_layers=1,
+                               g_hidden_layers=1)
+    nparams = jax.tree.map(jnp.zeros_like,
+                           node_init(jax.random.PRNGKey(0), ncfg))
+    field = make_field(ncfg)
+    lyap = lyapunov_init(jax.random.PRNGKey(1), 11, 8)
+    st, obs = epv.reset(jax.random.PRNGKey(2))
+    obs_b = obs[None, :]
+
+    def resample(o, k):
+        return jnp.zeros((o.shape[0], 2))
+
+    tms = cpv.terms(cfg, ncfg, nparams, field, lyap, obs_b,
+                    jnp.zeros((1, 2)), jnp.zeros((1, 11)),
+                    jax.random.PRNGKey(3), 0.02, resample=resample,
+                    include_clf=False)
+    s7 = np.asarray(epv.obs_to_state(obs_b))[0]
+    pos = s7[:2]
+    cr = cfg.collision_buffer * 0.25
+    h_obs = 0.5 * (np.sum((pos - np.asarray(epv.HAZARDS)) ** 2, 1)
+                   - cr ** 2)
+    h_op1 = s7[0] - s7[6] + 0.9 * 1.0
+    h_op2 = s7[6] - s7[0] + 0.9 * 1.0
+    h_ymax = -s7[1] + 100.0 - 10.0
+    h_ymin = s7[1] + 100.0 - 10.0
+    h_all = np.concatenate([h_obs, [h_op1, h_op2, h_ymax, h_ymin]])
+    # operator propagation with a zero field: op' = op + 0.7(x - op),
+    # x constant; op converges toward x so horizons DIFFER for the
+    # operator columns unless op == x. At reset op == x -> all equal.
+    expect = -cfg.gamma_b ** 3 * h_all
+    np.testing.assert_allclose(np.asarray(tms[0]), expect, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_metrics_sink_wandb_gracefully_degrades(capsys):
+    from nlbac_tpu.train.logging import MetricsSink
+    sink = MetricsSink(None, use_wandb=True, wandb_project="x")
+    sink.log({"a": 1.0})
+    assert sink.history == [{"a": 1.0}]
+    sink.close()
