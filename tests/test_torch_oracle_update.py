@@ -348,3 +348,110 @@ def test_cars_constraint_chain_matches_torch_oracle():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(float(m["constraint_loss"]), loss2,
                                rtol=5e-3, atol=5e-3)
+
+
+def test_nbc_barrier_constraint_and_td_match_torch_oracle():
+    """Learned-barrier family (NBC-UNI/sac_cbf_clf/sac_cbf_clf.py:200-482):
+    barrier TD on barrier signals, and the constraint pair
+    [-(B1 - B0_detached) - gamma_b*B0_detached, CLF] with NO ratio."""
+    from nlbac_tpu.nn import predict_next_state
+
+    cfg = get_config("nbc_unicycle")
+    cfg = dataclasses.replace(
+        cfg,
+        sac=dataclasses.replace(cfg.sac, hidden_dim=HID, batch_size=BATCH),
+        node=dataclasses.replace(cfg.node, hidden_dim=NODE_HID,
+                                 f_hidden_layers=2, g_hidden_layers=2,
+                                 max_batch=8, update_interval=1000000),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    ccfg, scfg = cfg.constraint, cfg.sac
+    assert not ccfg.use_ratio and not ccfg.use_backup
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    spec = action_spec(cfg)
+    agent = make_agent(cfg)
+
+    buf = rlib.create(64, 7, 2, 2)
+    st, o = env.reset(jax.random.PRNGKey(1))
+    for i in range(BATCH * 2):
+        a = jnp.array([2.0, 0.5 - 0.1 * i])
+        st, out = env.step(st, a, barrier_B=cfg.env.barrier_B)
+        rec = rlib.record_from_step(o, a, out, jnp.float32(1.0),
+                                    jnp.float32(i * 0.02),
+                                    jnp.float32((i + 1) * 0.02))
+        buf = rlib.push(buf, rec)
+        o = out.obs
+
+    key = jax.random.PRNGKey(11)
+    ts2, m = jax.jit(agent.update)(ts, buf, buf, key, jnp.int32(0))
+
+    keys = jax.random.split(key, 3)
+    batch = rlib.sample(buf, keys[0], BATCH)
+    inner = jax.random.split(keys[2], 8)
+    n_next, a_next, _ = recover_noise(ts.policy, batch["next_obs"],
+                                      inner[2], spec)
+    n_pi, a_pi, _ = recover_noise(ts.policy, batch["obs"], inner[3], spec)
+
+    scale, bias = t(spec.scale), t(spec.bias)
+    obs = t(batch["obs"])
+    next_obs = t(batch["next_obs"])
+    mask = t(batch["mask"]).unsqueeze(1)
+
+    # ---- barrier TD ----------------------------------------------------
+    na, _ = policy_sample_t(ts.policy, next_obs, n_next, scale, bias)
+    b_next_t = mlp_t(ts.barrier_target, torch.cat([next_obs, na], 1))
+    next_b = t(batch["barrier_signal"]).unsqueeze(1) \
+        + mask * scfg.gamma * b_next_t
+    b = mlp_t(ts.barrier, torch.cat([obs, t(batch["action"])], 1))
+    barrier_td = ((b - next_b) ** 2).mean()
+    np.testing.assert_allclose(float(m["barrier_td_loss"]),
+                               float(barrier_td), rtol=3e-4, atol=1e-6)
+
+    # ---- barrier + CLF constraint pair ----------------------------------
+    dt = cfg.env.dt
+    x0_j = env.obs_to_state(batch["obs"])
+    x1_j = predict_next_state(cfg.node, ts.node, x0_j, a_pi, dt)
+    obs1_j = env.state_to_obs(x1_j)
+    n_u1, u1_j, _ = recover_noise(ts.policy, obs1_j, inner[4], spec)
+
+    x0 = t(x0_j)
+    x1 = node_forward_t(ts.node, x0, t(a_pi), dt)
+    np.testing.assert_allclose(np.asarray(x1_j), x1.numpy(), rtol=2e-4,
+                               atol=2e-4)
+    # torch reconstruction of the 7-d obs at the prediction
+    th = x1[:, 2]
+    rel = t(np.array([2.5, 2.5])) - x1[:, :2]
+    vec = torch.stack([rel[:, 0] * torch.cos(th) + rel[:, 1] * torch.sin(th),
+                       -rel[:, 0] * torch.sin(th)
+                       + rel[:, 1] * torch.cos(th)], 1)
+    vec = vec / (vec.norm(dim=1, keepdim=True) + 0.001)
+    obs1 = torch.cat([x1[:, :2], torch.cos(th).unsqueeze(1),
+                      torch.sin(th).unsqueeze(1), vec,
+                      torch.exp(-rel.norm(dim=1, keepdim=True))], 1)
+    u1, _ = policy_sample_t(ts.policy, obs1, n_u1, scale, bias)
+
+    barrier_new = ts2.barrier  # barrier TD step happens BEFORE policy loss
+    b0 = mlp_t(barrier_new, torch.cat([obs, t(a_pi)], 1))
+    b1 = mlp_t(barrier_new, torch.cat([obs1, u1], 1))
+    barrier_term = -(b1 - b0) - ccfg.gamma_b * b0
+
+    lyap_new = ts2.lyap
+    lp = ccfg.lookahead
+    ps_next = torch.stack([x1[:, 0] + lp * torch.cos(th),
+                           x1[:, 1] + lp * torch.sin(th)], 1)
+    l_t = mlp_t(lyap_new, t(batch["lyap_t"]))
+    l_t1 = mlp_t(lyap_new, ps_next)
+    clf = (l_t1 - l_t) / dt + ccfg.gamma_l * l_t
+
+    matr = torch.cat([barrier_term, clf], 1)
+    c = torch.clamp(matr, min=0).sum(0) / BATCH
+    lam = torch.clamp(0.0 + 1.0 * c, 0.01, ccfg.lambda_max)
+    rho = min(1.0 * ccfg.rho_growth, ccfg.rho_max)
+    loss2 = float(sum(lam[i] * c[i] + rho / 2 * c[i] ** 2
+                      for i in range(2)))  # NO ratio for NBC-UNI
+    np.testing.assert_allclose(np.asarray(ts2.lag.lam), lam.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(m["constraint_loss"]), loss2,
+                               rtol=5e-3, atol=5e-3)
+    # NBC: single rho bump (no backup loss)
+    np.testing.assert_allclose(float(m["rho"]), rho, rtol=1e-6)
