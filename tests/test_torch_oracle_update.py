@@ -455,3 +455,144 @@ def test_nbc_barrier_constraint_and_td_match_torch_oracle():
                                rtol=5e-3, atol=5e-3)
     # NBC: single rho bump (no backup loss)
     np.testing.assert_allclose(float(m["rho"]), rho, rtol=1e-6)
+
+
+def test_pvtol_constraint_chain_matches_torch_oracle():
+    """The 3-step rel-degree-3 chain (PVTOL/sac_cbf_clf/sac_cbf_clf.py:
+    424-738): NODE over the 6-d dynamics state, analytic operator
+    propagation at every horizon, two detached policy resamples at
+    reconstructed 11-d observations, 9 HOCBFs + obs-space CLF, floored
+    ratio, separate backup rho (primary loss only bumps the shared rho
+    once)."""
+    from nlbac_tpu.envs import pvtol as epv
+    from nlbac_tpu.nn import predict_next_state
+
+    cfg = get_config("pvtol")
+    cfg = dataclasses.replace(
+        cfg,
+        sac=dataclasses.replace(cfg.sac, hidden_dim=HID, batch_size=BATCH),
+        node=dataclasses.replace(cfg.node, hidden_dim=NODE_HID,
+                                 f_hidden_layers=2, g_hidden_layers=2,
+                                 max_batch=8, update_interval=1000000),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    ccfg = cfg.constraint
+    assert ccfg.separate_backup_rho
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    spec = action_spec(cfg)
+    agent = make_agent(cfg)
+
+    buf = rlib.create(64, 11, 2, 11)
+    st, o = epv.reset(jax.random.PRNGKey(1))
+    for i in range(BATCH * 2):
+        a = jnp.array([0.3, 1.0 - 0.2 * i])
+        st, out = epv.step(st, a)
+        rec = rlib.record_from_step(o, a, out, jnp.float32(1.0),
+                                    jnp.float32(i * 0.02),
+                                    jnp.float32((i + 1) * 0.02))
+        buf = rlib.push(buf, rec)
+        o = out.obs
+
+    key = jax.random.PRNGKey(13)
+    ts2, m = jax.jit(agent.update)(ts, buf, buf, key, jnp.int32(0))
+
+    keys = jax.random.split(key, 3)
+    batch = rlib.sample(buf, keys[0], BATCH)
+    inner = jax.random.split(keys[2], 8)
+    n_pi, a_pi, _ = recover_noise(ts.policy, batch["obs"], inner[3], spec)
+
+    scale, bias = t(spec.scale), t(spec.bias)
+    dt = cfg.env.dt
+
+    def node_step_t(x6, u):
+        f = mlp_t(ts.node["f"], x6)
+        g = mlp_t(ts.node["g"], x6).reshape(-1, 6, 2)
+        return x6 + dt * (f + torch.bmm(g, u.unsqueeze(-1)).squeeze(-1))
+
+    def obs_from_state_t(s7):
+        th = s7[:, 2]
+        rel = t(np.array([4.5, 4.5])) - s7[:, :2]
+        vec = torch.stack(
+            [rel[:, 0] * torch.cos(th) + rel[:, 1] * torch.sin(th),
+             -rel[:, 0] * torch.sin(th) + rel[:, 1] * torch.cos(th)], 1)
+        vec = vec / (vec.norm(dim=1, keepdim=True) + 0.001)
+        return torch.cat([s7[:, :2], torch.cos(th).unsqueeze(1),
+                          torch.sin(th).unsqueeze(1), s7[:, 3:7], vec,
+                          torch.exp(-rel.norm(dim=1, keepdim=True))], 1)
+
+    # jax-side prediction chain reproduction (to recover resample noise)
+    s7_j = epv.obs_to_state(batch["obs"])
+    d1_j = predict_next_state(cfg.node, ts.node, s7_j[:, :6], a_pi, dt)
+    op1_j = epv.propagate_operator(s7_j[:, 6], d1_j[:, 0])
+    s1_j = jnp.concatenate([d1_j, op1_j[:, None]], axis=1)
+    obs1_j = epv.state_to_obs(s1_j)
+    # _chain splits keys[4] into `horizon` keys and uses them in order
+    chain_keys = jax.random.split(inner[4], ccfg.horizon)
+    n_u1, u1_j, _ = recover_noise(ts.policy, obs1_j, chain_keys[0], spec)
+    d2_j = predict_next_state(cfg.node, ts.node, d1_j, u1_j, dt)
+    op2_j = epv.propagate_operator(op1_j, d2_j[:, 0])
+    s2_j = jnp.concatenate([d2_j, op2_j[:, None]], axis=1)
+    obs2_j = epv.state_to_obs(s2_j)
+    n_u2, u2_j, _ = recover_noise(ts.policy, obs2_j, chain_keys[1], spec)
+
+    # torch chain
+    s7 = t(s7_j)
+    d1 = node_step_t(s7[:, :6], t(a_pi))
+    op1 = s7[:, 6] + 0.7 * (d1[:, 0] - s7[:, 6])
+    s1 = torch.cat([d1, op1.unsqueeze(1)], 1)
+    u1, _ = policy_sample_t(ts.policy, obs_from_state_t(s1), n_u1, scale,
+                            bias)
+    d2 = node_step_t(d1, u1)
+    op2 = op1 + 0.7 * (d2[:, 0] - op1)
+    s2 = torch.cat([d2, op2.unsqueeze(1)], 1)
+    u2, _ = policy_sample_t(ts.policy, obs_from_state_t(s2), n_u2, scale,
+                            bias)
+    d3 = node_step_t(d2, u2)
+    op3 = op2 + 0.7 * (d3[:, 0] - op2)
+    s3 = torch.cat([d3, op3.unsqueeze(1)], 1)
+
+    hz = t(np.asarray(epv.HAZARDS))
+    cr = ccfg.collision_buffer * 0.25
+    od = ccfg.operator_margin * 1.0
+    dy = ccfg.box_delta_y
+
+    def fams(s):
+        pos = s[:, :2]
+        h_obs = 0.5 * (((pos.unsqueeze(1) - hz.unsqueeze(0)) ** 2).sum(2)
+                       - cr ** 2)
+        h1 = (s[:, 0] - s[:, 6] + od).unsqueeze(1)
+        h2 = (s[:, 6] - s[:, 0] + od).unsqueeze(1)
+        h3 = (-s[:, 1] + 100.0 - dy).unsqueeze(1)
+        h4 = (s[:, 1] + 100.0 - dy).unsqueeze(1)
+        return torch.cat([h_obs, h1, h2, h3, h4], 1)
+
+    gb = ccfg.gamma_b
+    H = [fams(s) for s in (s7, s1, s2, s3)]
+    term1 = H[3] - H[2] + gb * H[2]
+    term2 = H[2] - H[1] + gb * H[1]
+    term3 = H[1] - H[0] + gb * H[0]
+    inner_t = term2 - term3 + gb * term3
+    cbf = -(term1 - term2 + gb * term2 - inner_t + gb * inner_t)
+
+    lyap_new = ts2.lyap
+    l_t = mlp_t(lyap_new, t(batch["lyap_t"]))
+    l_t1 = mlp_t(lyap_new, obs_from_state_t(s1))
+    clf = (l_t1 - l_t) + ccfg.gamma_l * l_t  # not dt-scaled
+
+    matr = torch.cat([cbf, clf], 1)
+    c = torch.clamp(matr, min=0).sum(0) / BATCH
+    ratio = max(float(abs(c[:-1].mean()) / max(abs(c[-1]), 1e-12)), 0.002)
+    lam = torch.clamp(0.0 + 1.0 * c, 0.01, ccfg.lambda_max)
+    rho = min(1.0 * ccfg.rho_growth, ccfg.rho_max)
+    loss2 = float(sum(lam[i] * c[i] + rho / 2 * c[i] ** 2
+                      for i in range(9))
+                  + lam[9] * ratio * c[9] + ratio ** 2 * rho / 2 * c[9] ** 2)
+
+    np.testing.assert_allclose(np.asarray(ts2.lag.lam), lam.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(m["constraint_loss"]), loss2,
+                               rtol=1e-2, atol=1e-2)
+    # separate backup rho: primary rho bumps once; backup rho bumped once
+    # by the gated (updates=0) backup branch
+    np.testing.assert_allclose(float(m["rho"]), rho, rtol=1e-6)
+    np.testing.assert_allclose(float(ts2.lag.backup_rho), rho, rtol=1e-6)
