@@ -97,6 +97,36 @@ def render_cars(state) -> np.ndarray:
     return _to_rgb(fig)
 
 
+def render_quadrotor(state, trajectory: Optional[np.ndarray] = None
+                     ) -> np.ndarray:
+    """One rgb frame of the quadrotor world. state: (6,)
+    [x, vx, z, vz, theta, omega]."""
+    from nlbac_tpu.envs import quadrotor as env
+    from matplotlib.patches import Circle, Rectangle
+    fig, ax = _canvas()
+    ax.add_patch(Rectangle((env.X_RANGE[0], env.Z_RANGE[0]),
+                           env.X_RANGE[1] - env.X_RANGE[0],
+                           env.Z_RANGE[1] - env.Z_RANGE[0],
+                           fill=False, edgecolor="gray", linestyle="--"))
+    ax.add_patch(Circle(np.asarray(env.OBSTACLE), env.OBSTACLE_RADIUS,
+                        color="red", alpha=0.6))
+    ax.add_patch(Circle(np.asarray(env.GOAL), env.GOAL_SIZE,
+                        color="green", alpha=0.4))
+    s = np.asarray(state)
+    x, z, th = s[0], s[2], s[4]
+    arm = 0.15
+    dx, dz = arm * np.cos(th), arm * np.sin(th)
+    ax.plot([x - dx, x + dx], [z - dz, z + dz], "k-", lw=3)
+    ax.plot(x, z, "o", color="steelblue", markersize=6)
+    if trajectory is not None:
+        tr = np.asarray(trajectory)
+        ax.plot(tr[:, 0], tr[:, 2], "-", color="steelblue", alpha=0.5)
+    ax.set_xlim(-2.5, 2.5)
+    ax.set_ylim(-0.2, 2.4)
+    ax.set_aspect("equal")
+    return _to_rgb(fig)
+
+
 def render(env_name: str, state, trajectory=None) -> np.ndarray:
     if env_name == "unicycle":
         return render_unicycle(state, trajectory)
@@ -104,6 +134,8 @@ def render(env_name: str, state, trajectory=None) -> np.ndarray:
         return render_pvtol(state, trajectory)
     if env_name == "cars":
         return render_cars(state)
+    if env_name == "quadrotor":
+        return render_quadrotor(state, trajectory)
     raise ValueError(f"no renderer for env {env_name!r}")
 
 

@@ -235,3 +235,37 @@ def test_host_env_full_training_loop():
     assert int(m.updates_done) > 0
     assert np.isfinite(float(m.reward))
     assert int(node.size) == int(total) == 16
+
+
+def test_quadrotor_renderer():
+    from nlbac_tpu.envs.render import render
+    f = render("quadrotor", np.array([-1.0, 0, 0.5, 0, 0.1, 0]),
+               trajectory=np.array([[-1, 0, 0.5, 0, 0, 0],
+                                    [-0.9, 0, 0.6, 0, 0, 0]]))
+    assert f.ndim == 3 and f.shape[2] == 3
+
+
+def test_experiment_grid_run_all(tmp_path):
+    """run_all executes every variant in-process through the training
+    loop (the call_experiment successor)."""
+    import dataclasses
+    from nlbac_tpu.config import NodeConfig, ReplayConfig, get_config
+    base = get_config("unicycle")
+    base = dataclasses.replace(
+        base,
+        env=dataclasses.replace(base.env, max_episode_steps=6),
+        sac=dataclasses.replace(base.sac, hidden_dim=8, batch_size=4,
+                                updates_per_step=1, start_steps=2),
+        node=dataclasses.replace(base.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=32, node_capacity=32),
+        run=dataclasses.replace(base.run, max_episodes=1),
+    )
+    g = ExperimentGrid("mini", base=base)
+    g.add("constraint.gamma_b", [10.0, 50.0])
+    results = g.run_all(output_dir=str(tmp_path))
+    assert len(results) == 2
+    for name in results:
+        assert os.path.exists(os.path.join(tmp_path, name,
+                                           "progress.txt")), name
