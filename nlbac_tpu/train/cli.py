@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "nbc_pvtol", "quadrotor"],
                    help="experiment preset (replaces the program copies)")
     p.add_argument("--env-name", default=None,
-                   help="override env (defaults to the preset's)")
+                   choices=["Unicycle", "SimulatedCars", "Pvtol",
+                            "Quadrotor"],
+                   help="reference-style env name (maps onto a preset; "
+                        "--preset is the native way)")
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--output", default="output")
     p.add_argument("--mode", default="train", choices=["train", "eval"])
@@ -82,8 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_ENV_NAME_TO_PRESET = {"Unicycle": "unicycle", "SimulatedCars": "cars",
+                       "Pvtol": "pvtol", "Quadrotor": "quadrotor"}
+
+
 def config_from_args(args) -> NLBACConfig:
-    cfg = get_config(args.preset)
+    preset = args.preset
+    if getattr(args, "env_name", None):
+        preset = _ENV_NAME_TO_PRESET[args.env_name]
+    cfg = get_config(preset)
 
     def rep(obj, **kw):
         kw = {k: v for k, v in kw.items() if v is not None}

@@ -92,3 +92,49 @@ def test_train_resume_from_checkpoint(tmp_path):
     assert list(cols["Episode"]) == [2.0, 3.0]
     # total step counter carried over (10 steps/ep * 2 prior episodes)
     assert cols["episode_steps"][0] <= 10
+
+
+def test_env_name_flag_maps_to_preset():
+    args = build_parser().parse_args(["--env-name", "SimulatedCars"])
+    cfg = config_from_args(args)
+    assert cfg.env.name == "cars"
+    args = build_parser().parse_args(["--env-name", "Quadrotor"])
+    assert config_from_args(args).env.name == "quadrotor"
+
+
+def test_run_entrypoint_roundtrip_and_subprocess(tmp_path):
+    """Payload encode/decode roundtrip + actual child-process execution
+    (the reference's cloudpickle/zlib/base64 run_entrypoint capability)."""
+    import subprocess
+    import sys
+    from nlbac_tpu.utils.run_entrypoint import (decode_experiment,
+                                                encode_experiment)
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "1",
+        "--max_episode_steps", "6", "--batch_size", "4",
+        "--start_steps", "2", "--hidden_size", "8",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=32, node_capacity=32),
+    )
+    out = str(tmp_path / "child")
+    payload = encode_experiment(cfg, output_dir=out, quiet=True)
+    cfg2, kw = decode_experiment(payload)
+    assert cfg2 == cfg and kw["output_dir"] == out
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # PYTHONPATH breaks the TPU plugin
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from nlbac_tpu.utils.run_entrypoint import main;"
+         f"main([{payload!r}])"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "progress.txt"))
