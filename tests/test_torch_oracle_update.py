@@ -596,3 +596,31 @@ def test_pvtol_constraint_chain_matches_torch_oracle():
     # by the gated (updates=0) backup branch
     np.testing.assert_allclose(float(m["rho"]), rho, rtol=1e-6)
     np.testing.assert_allclose(float(ts2.lag.backup_rho), rho, rtol=1e-6)
+
+
+def test_optax_adam_matches_torch_adam():
+    """The reference uses torch.optim.Adam everywhere; optax.adam must
+    produce the same parameter updates (same m-hat/(sqrt(v-hat)+eps)
+    bias-corrected form) over several steps."""
+    import optax
+    w0 = np.linspace(-1, 1, 12).reshape(3, 4).astype(np.float32)
+    grads = [np.sin(np.arange(12, dtype=np.float32) + i).reshape(3, 4)
+             for i in range(5)]
+    lr = 3e-4
+
+    opt = optax.adam(lr)
+    pj = jnp.array(w0)
+    state = opt.init(pj)
+    for g in grads:
+        upd, state = opt.update(jnp.array(g), state, pj)
+        pj = optax.apply_updates(pj, upd)
+
+    pt = torch.nn.Parameter(torch.tensor(w0, dtype=torch.float32))
+    topt = torch.optim.Adam([pt], lr=lr)
+    for g in grads:
+        topt.zero_grad()
+        pt.grad = torch.tensor(g)
+        topt.step()
+
+    np.testing.assert_allclose(np.asarray(pj), pt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
