@@ -1,79 +1,153 @@
 """On-device replay ring buffer.
 
 Replaces the reference's host-side list-of-tuples + stdlib
-``random.sample`` (UNI/sac_cbf_clf/replay_memory.py:4-28) with a
-preallocated pytree of device arrays, an integer write cursor, and
-``jax.random`` sampling — so pushes and samples live inside the jitted
-training step with zero host transfers.
+``random.sample`` (UNI/sac_cbf_clf/replay_memory.py:4-28) with ONE
+preallocated (capacity, record_width) device array, an integer write
+cursor, and ``jax.random`` sampling — so pushes and samples live inside
+the jitted training step with zero host transfers.
 
 Record fields mirror the reference's 10-field records (11 with the NBC
 barrier signal): obs, action, reward, constraint, lyap_t, lyap_t1,
 barrier_signal, next_obs, mask, t, next_t
 (UNI/main.py:96-104, NBC-UNI/sac_cbf_clf/replay_memory.py:12).
+
+Perf note: fields are PACKED into one row per record, so a push is a
+single dynamic-update-slice and a sample is a single row gather — the
+episode loop executes 2 memory ops per step for its two buffers instead
+of 22 (the while-loop body is latency-bound on op count).  The field
+layout is static pytree aux data; ``sample`` returns an unpacked dict of
+views.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
+FIELD_ORDER = ("obs", "action", "reward", "constraint", "lyap_t",
+               "lyap_t1", "barrier_signal", "next_obs", "mask", "t",
+               "next_t")
+# conceptually scalar fields come back squeezed to (...,); vector fields
+# (obs/action/lyap) keep their trailing dim even at width 1 (cars action)
+SCALAR_FIELDS = frozenset(("reward", "constraint", "barrier_signal",
+                           "mask", "t", "next_t"))
 
-class Replay(NamedTuple):
-    """Ring buffer state. ``data`` is a dict of (capacity, ...) arrays."""
 
-    data: dict
-    position: jnp.ndarray  # i32, next write slot (= total pushes mod cap)
-    size: jnp.ndarray  # i32, number of valid records
-    total: jnp.ndarray  # i64-ish i32, total pushes ever (reference's
-    # ``position`` counter used for the NODE batch bound,
-    # UNI/sac_cbf_clf/sac_cbf_clf.py:206)
+def _field_widths(obs_dim: int, action_dim: int, lyap_dim: int) -> dict:
+    return {
+        "obs": obs_dim, "action": action_dim, "reward": 1,
+        "constraint": 1, "lyap_t": lyap_dim, "lyap_t1": lyap_dim,
+        "barrier_signal": 1, "next_obs": obs_dim, "mask": 1, "t": 1,
+        "next_t": 1,
+    }
+
+
+def make_layout(obs_dim: int, action_dim: int, lyap_dim: int
+                ) -> Tuple[Tuple[str, int, int], ...]:
+    """Static (name, offset, width) triples for the packed row."""
+    widths = _field_widths(obs_dim, action_dim, lyap_dim)
+    layout = []
+    off = 0
+    for name in FIELD_ORDER:
+        w = widths[name]
+        layout.append((name, off, w))
+        off += w
+    return tuple(layout)
+
+
+@jax.tree_util.register_pytree_node_class
+class Replay:
+    """Packed ring buffer. ``layout`` is static pytree aux data."""
+
+    def __init__(self, data, position, size, total, layout):
+        self.data = data  # (capacity, record_width) f32
+        self.position = position  # i32, next write slot
+        self.size = size  # i32, valid records
+        self.total = total  # i32, pushes ever (reference's ``position``
+        # counter used for the NODE batch bound, sac_cbf_clf.py:206)
+        self.layout = layout
+
+    def tree_flatten(self):
+        return ((self.data, self.position, self.size, self.total),
+                self.layout)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, layout=aux)
+
+    # convenience accessors (host/test use)
+    def field(self, name):
+        for n, off, w in self.layout:
+            if n == name:
+                col = self.data[:, off:off + w]
+                return col[:, 0] if name in SCALAR_FIELDS else col
+        raise KeyError(name)
+
+    def with_field(self, name, value):
+        for n, off, w in self.layout:
+            if n == name:
+                value = jnp.asarray(value, jnp.float32)
+                if w == 1 and value.ndim == 1:
+                    value = value[:, None]
+                return Replay(self.data.at[:, off:off + w].set(value),
+                              self.position, self.size, self.total,
+                              self.layout)
+        raise KeyError(name)
+
+    def __eq__(self, other):  # structural equality for tests
+        return NotImplemented
+
+    def __repr__(self):
+        return (f"Replay(capacity={self.data.shape[0]}, "
+                f"width={self.data.shape[1]}, size={self.size})")
 
 
 def create(capacity: int, obs_dim: int, action_dim: int,
            lyap_dim: int) -> Replay:
-    f = jnp.float32
-    data = {
-        "obs": jnp.zeros((capacity, obs_dim), f),
-        "action": jnp.zeros((capacity, action_dim), f),
-        "reward": jnp.zeros((capacity,), f),
-        "constraint": jnp.zeros((capacity,), f),
-        "lyap_t": jnp.zeros((capacity, lyap_dim), f),
-        "lyap_t1": jnp.zeros((capacity, lyap_dim), f),
-        "barrier_signal": jnp.zeros((capacity,), f),
-        "next_obs": jnp.zeros((capacity, obs_dim), f),
-        "mask": jnp.zeros((capacity,), f),
-        "t": jnp.zeros((capacity,), f),
-        "next_t": jnp.zeros((capacity,), f),
-    }
-    return Replay(data=data, position=jnp.int32(0), size=jnp.int32(0),
-                  total=jnp.int32(0))
+    layout = make_layout(obs_dim, action_dim, lyap_dim)
+    width = sum(w for _, _, w in layout)
+    return Replay(data=jnp.zeros((capacity, width), jnp.float32),
+                  position=jnp.int32(0), size=jnp.int32(0),
+                  total=jnp.int32(0), layout=layout)
+
+
+def _pack(layout, record: dict) -> jnp.ndarray:
+    parts = []
+    for name, _, w in layout:
+        v = jnp.asarray(record[name], jnp.float32)
+        parts.append(v.reshape(w))
+    return jnp.concatenate(parts)
+
+
+def _unpack(layout, rows: jnp.ndarray) -> dict:
+    out = {}
+    for name, off, w in layout:
+        col = rows[..., off:off + w]
+        out[name] = col[..., 0] if name in SCALAR_FIELDS else col
+    return out
 
 
 def push(replay: Replay, record: dict, do_push=True) -> Replay:
     """Write one record at the cursor; ``do_push`` masks the write (the
     reference skips the RL buffer while the backup controller is active,
     UNI/main.py:96-99)."""
-    pos = replay.position
     do = jnp.asarray(do_push)
-
-    def write(arr, val):
-        val = jnp.asarray(val, arr.dtype)
-        new = jax.lax.dynamic_update_index_in_dim(arr, val, pos, axis=0)
-        return jax.lax.select(do, new, arr)
-
-    data = {k: write(replay.data[k], record[k]) for k in replay.data}
-    capacity = replay.data["reward"].shape[0]
+    row = _pack(replay.layout, record)
+    new = jax.lax.dynamic_update_index_in_dim(replay.data, row,
+                                              replay.position, axis=0)
+    data = jax.lax.select(do, new, replay.data)
+    capacity = replay.data.shape[0]
     inc = do.astype(jnp.int32)
-    new_pos = (pos + inc) % capacity
-    new_size = jnp.minimum(replay.size + inc, capacity)
-    return Replay(data=data, position=new_pos, size=new_size,
-                  total=replay.total + inc)
+    return Replay(data=data,
+                  position=(replay.position + inc) % capacity,
+                  size=jnp.minimum(replay.size + inc, capacity),
+                  total=replay.total + inc, layout=replay.layout)
 
 
 def sample(replay: Replay, key, batch_size: int,
-           max_index: jnp.ndarray | None = None) -> dict:
+           max_index=None) -> dict:
     """Uniform sample of ``batch_size`` records (with replacement).
 
     ``max_index`` optionally bounds sampling to the first N records — the
@@ -86,7 +160,7 @@ def sample(replay: Replay, key, batch_size: int,
                                                            max_index)
     hi = jnp.maximum(hi, 1)
     idx = jax.random.randint(key, (batch_size,), 0, hi)
-    return {k: v[idx] for k, v in replay.data.items()}
+    return _unpack(replay.layout, replay.data[idx])
 
 
 def record_from_step(obs, action, out, mask, t, next_t) -> dict:

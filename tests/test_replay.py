@@ -28,7 +28,7 @@ def test_push_and_size():
     for i in range(5):
         buf = jax.jit(replay.push)(buf, _rec(i))
     assert int(buf.size) == 5 and int(buf.position) == 5
-    np.testing.assert_allclose(np.asarray(buf.data["reward"][:5]),
+    np.testing.assert_allclose(np.asarray(buf.field("reward")[:5]),
                                np.arange(5))
 
 
@@ -39,7 +39,7 @@ def test_wraparound_overwrites_oldest():
     assert int(buf.size) == 4
     assert int(buf.position) == 2
     assert int(buf.total) == 6
-    np.testing.assert_allclose(np.asarray(buf.data["reward"]),
+    np.testing.assert_allclose(np.asarray(buf.field("reward")),
                                [4, 5, 2, 3])
 
 
@@ -47,7 +47,7 @@ def test_masked_push_is_noop():
     buf = _mk()
     buf = replay.push(buf, _rec(7), do_push=jnp.array(False))
     assert int(buf.size) == 0 and int(buf.total) == 0
-    np.testing.assert_allclose(np.asarray(buf.data["reward"]), 0.0)
+    np.testing.assert_allclose(np.asarray(buf.field("reward")), 0.0)
 
 
 def test_sample_within_size_and_deterministic():

@@ -57,9 +57,8 @@ def test_debug_nans_catches_poisoned_buffer():
     cfg = _cfg()
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     buf = _filled(cfg)
-    data = dict(buf.data)
-    data["obs"] = data["obs"].at[:].set(jnp.nan)
-    buf = buf._replace(data=data)
+    buf = buf.with_field(
+        "obs", jnp.full((buf.data.shape[0], 7), jnp.nan))
     agent = make_agent(cfg)
     with jax.debug_nans(True):
         with pytest.raises((FloatingPointError, Exception)):
