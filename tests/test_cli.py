@@ -138,3 +138,25 @@ def test_run_entrypoint_roundtrip_and_subprocess(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out, "progress.txt"))
+
+
+def test_evaluator_run_policy(tmp_path):
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.utils.evaluate import run_policy
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episode_steps", "12",
+        "--hidden_size", "8",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg, node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                      f_hidden_layers=1,
+                                      g_hidden_layers=1))
+    ts = create_train_state(cfg, __import__("jax").random.PRNGKey(0))
+    results = run_policy(cfg, ts, episodes=2, seed=0)
+    assert len(results) == 2
+    for r in results:
+        assert r["length"] <= 12
+        assert np.isfinite(r["return"])
+    # deterministic head -> identical episodes for the deterministic env
+    assert results[0]["return"] == results[1]["return"]
