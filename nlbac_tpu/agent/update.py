@@ -121,8 +121,14 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
     # NODE fit (model.py train_step; gating sac_cbf_clf.py:205-219)
     # ------------------------------------------------------------------
     def node_fit(node_params, node_opt, node_replay, key):
-        batch = replay_lib.sample(node_replay, key, ncfg.max_batch,
-                                  max_index=jnp.int32(ncfg.max_batch))
+        # Sample ncfg.max_batch indices from the WHOLE buffer [0, size):
+        # the reference bounds the BATCH SIZE at min(position, 32768) but
+        # samples from the entire buffer (UNI/sac_cbf_clf/sac_cbf_clf.py:
+        # 205-208, replay_memory.py:23).  Bounding the index range instead
+        # would freeze dynamics-model training on the oldest 32768
+        # (mostly random-warmup) transitions once the buffer grows past
+        # max_batch.
+        batch = replay_lib.sample(node_replay, key, ncfg.max_batch)
         return node_fit_batch(node_params, node_opt, batch)
 
     def node_fit_batch(node_params, node_opt, batch):
@@ -144,9 +150,10 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         """Sample both buffers on device, then run the batch update."""
         keys = jax.random.split(key, 3)
         batch = replay_lib.sample(rl_replay, keys[0], scfg.batch_size)
+        # whole-buffer sampling — see node_fit above for why there is no
+        # max_index bound here (reference parity)
         node_batch = replay_lib.sample(node_replay, keys[1],
-                                       ncfg.max_batch,
-                                       max_index=jnp.int32(ncfg.max_batch))
+                                       ncfg.max_batch)
         return update_from_batch(ts, batch, node_batch, keys[2], i_episode)
 
     def update_from_batch(ts: TrainState, batch, node_batch, key, i_episode

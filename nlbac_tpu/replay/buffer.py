@@ -148,13 +148,16 @@ def push(replay: Replay, record: dict, do_push=True) -> Replay:
 
 def sample(replay: Replay, key, batch_size: int,
            max_index=None) -> dict:
-    """Uniform sample of ``batch_size`` records (with replacement).
+    """Uniform sample of ``batch_size`` records (with replacement) from
+    the whole valid range [0, size).
 
-    ``max_index`` optionally bounds sampling to the first N records — the
-    device-shape-static analog of the reference's dynamic
-    ``min(position, 32768)`` NODE batch (UNI/sac_cbf_clf/sac_cbf_clf.py:206):
-    we always gather a static-shaped batch but draw indices from
-    [0, min(size, max_index)).
+    This is the static-shape analog of the reference's NODE sampling —
+    batch size ``min(position, 32768)`` drawn from the ENTIRE buffer
+    (UNI/sac_cbf_clf/sac_cbf_clf.py:205-208, replay_memory.py:23): the
+    bound lives on the batch SIZE (here static = ``batch_size``), never
+    on the index range.  ``max_index`` optionally restricts indices to
+    the first N records for callers that genuinely want a prefix window;
+    the agent's training paths do not use it.
     """
     hi = replay.size if max_index is None else jnp.minimum(replay.size,
                                                            max_index)

@@ -207,3 +207,53 @@ def test_deterministic_policy_mode():
     low = np.array(env.SPEC.action_low) - 0.26  # noise clip margin
     high = np.array(env.SPEC.action_high) + 0.26
     assert np.all(np.asarray(a) >= low) and np.all(np.asarray(a) <= high)
+
+
+def test_node_fit_samples_whole_buffer():
+    """Regression: NODE fits must sample the WHOLE buffer, not the oldest
+    max_batch records.
+
+    The reference bounds the NODE batch SIZE at min(position, 32768) but
+    draws the sample from the entire buffer (UNI/sac_cbf_clf/
+    sac_cbf_clf.py:205-208, replay_memory.py:23).  A max_index bound on
+    the sample would permanently freeze dynamics training on the oldest
+    (warmup) data once the buffer passes max_batch pushes.
+
+    Setup: the first max_batch records are identity transitions
+    (next_obs == obs, NODE MSE ~ dt^2 * ||F||^2, tiny for fresh params);
+    every later record has a huge state jump.  If sampling covered only
+    the oldest max_batch records the fit loss would be ~1e-3; sampling
+    the whole buffer makes it O(jump^2)."""
+    cfg = tiny("unicycle")  # node.max_batch == 16
+    env = get_env("unicycle")
+    spec = env.SPEC
+    buf = rlib.create(128, spec.obs_dim, spec.action_dim, spec.lyap_dim)
+    x0 = jnp.array([0.5, -0.5, 0.3])
+    obs0 = env.state_to_obs(x0[None, :])[0]
+    obs_jump = env.state_to_obs((x0 + jnp.array([10.0, 10.0, 0.0]))
+                                [None, :])[0]
+    a = jnp.zeros((spec.action_dim,))
+    z = jnp.float32(0.0)
+
+    def rec(next_obs):
+        return {"obs": obs0, "action": a, "reward": z, "constraint": z,
+                "lyap_t": jnp.zeros(spec.lyap_dim),
+                "lyap_t1": jnp.zeros(spec.lyap_dim),
+                "barrier_signal": z, "next_obs": next_obs,
+                "mask": jnp.float32(1.0), "t": z,
+                "next_t": jnp.float32(cfg.env.dt)}
+
+    for _ in range(cfg.node.max_batch):
+        buf = rlib.push(buf, rec(obs0))           # trivial old records
+    for _ in range(64):
+        buf = rlib.push(buf, rec(obs_jump))       # fresh on-policy data
+
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl_buf = fill_replay(cfg)
+    agent = make_agent(cfg)
+    # updates counter 0 -> the NODE fit runs on this update
+    _, m = jax.jit(agent.update)(ts, rl_buf, buf, jax.random.PRNGKey(7),
+                                 jnp.int32(0))
+    assert float(m["node_loss"]) > 1.0, (
+        f"node_loss={float(m['node_loss'])}: NODE fit appears to sample "
+        "only the oldest max_batch records")

@@ -64,8 +64,8 @@ def test_sample_within_size_and_deterministic():
 
 
 def test_sample_bounded_max_index():
-    """Static-shape analog of the reference's min(position, 32768) NODE
-    batch bound."""
+    """Optional prefix-window sampling (NOT used by the agent's NODE
+    path, which samples the whole buffer — reference parity)."""
     buf = _mk(capacity=64)
     for i in range(50):
         buf = replay.push(buf, _rec(i))
