@@ -254,7 +254,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
 
     sink.close()
     for phase, total in timer.summary().items():
-        print(colorize(f"{phase}: {total:.1f}s", "cyan"))
+        print(colorize(f"{phase}: {total}", "cyan"))
     return ts, rl_replay, node_replay
 
 

@@ -156,8 +156,17 @@ class StepTimer:
             self.totals[phase] = self.totals.get(phase, 0.0) + dt
             self.counts[phase] = self.counts.get(phase, 0) + 1
 
-    def summary(self) -> Dict[str, float]:
-        return {f"time/{k}": self.totals[k] for k in self.totals}
+    def summary(self) -> Dict[str, str]:
+        """Per-phase 'total (mean x N)' strings — totals alone read as
+        per-call times and mislead for multi-call phases."""
+        out = {}
+        for k, tot in self.totals.items():
+            n = self.counts[k]
+            if n > 1:
+                out[f"time/{k}"] = f"{tot:.1f}s ({tot / n:.3f}s x {n})"
+            else:
+                out[f"time/{k}"] = f"{tot:.1f}s"
+        return out
 
 
 @contextmanager
