@@ -77,10 +77,15 @@ def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
 
     Returns (loss, lam', rho').  Transition order matches the reference:
     ascent with rho_in, THEN rho bump, THEN loss with (lam', rho')."""
-    c = filtered_means(terms, batch_size) - cfg.cost_limit  # (K,)
+    # The reference ascends multipliers and forms the ratio on the RAW
+    # filtered means (required_matrix_copy, no cost_limit shift); only the
+    # loss generalizes with cost_limit (0 in every preset, so identical
+    # there, but the distinction matters if cost_limit is configured).
+    m = filtered_means(terms, batch_size)  # (K,) raw
+    c = m - cfg.cost_limit  # (K,) shifted, loss only
     if cfg.use_ratio:
-        other = jnp.abs(jnp.mean(c[:-1]))
-        lya = jnp.abs(c[-1])
+        other = jnp.abs(jnp.mean(m[:-1]))
+        lya = jnp.abs(m[-1])
         # Guard: the reference divides by |c_clf| unprotected; a zero CLF
         # residual would NaN its loss. We clamp the denominator instead.
         ratio = jax.lax.stop_gradient(other / jnp.maximum(lya, 1e-12))
@@ -89,7 +94,7 @@ def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
     else:
         ratio = jnp.float32(1.0)
 
-    lam_new = ascend_multipliers(cfg, lam, c, rho, do_lambda_update)
+    lam_new = ascend_multipliers(cfg, lam, m, rho, do_lambda_update)
     rho_new = grow_rho(cfg, rho)
 
     lam_const = jax.lax.stop_gradient(lam_new)
@@ -108,8 +113,9 @@ def backup_loss(cfg: ConstraintConfig, terms: jnp.ndarray, backup_lam, rho,
     ``rho`` is whichever coefficient this variant wires in: the shared one
     after the primary bump (UNI/CARS) or the separate backup_rho (PVTOL).
     Returns (loss, backup_lam', rho')."""
-    c = filtered_means(terms, batch_size) - cfg.cost_limit
-    lam_new = ascend_multipliers(cfg, backup_lam, c, rho, do_lambda_update)
+    m = filtered_means(terms, batch_size)  # raw means: ascent (ref parity)
+    c = m - cfg.cost_limit  # shifted: loss only
+    lam_new = ascend_multipliers(cfg, backup_lam, m, rho, do_lambda_update)
     rho_new = grow_rho(cfg, rho)
     lam_const = jax.lax.stop_gradient(lam_new)
     loss = jnp.sum(lam_const * c + 0.5 * rho_new * jnp.square(c))

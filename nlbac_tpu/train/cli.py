@@ -27,6 +27,15 @@ from nlbac_tpu.train.logging import (EpochLogger, MetricsSink, StepTimer,
 from nlbac_tpu.utils.output import get_output_folder, setup_logger_kwargs
 
 
+def _str2bool(s: str) -> bool:
+    v = s.strip().lower()
+    if v in ("1", "true", "yes", "y", "on"):
+        return True
+    if v in ("0", "false", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="NLBAC-TPU training")
     p.add_argument("--preset", default="unicycle",
@@ -54,8 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--updates_per_step", type=int, default=None)
     p.add_argument("--start_steps", type=int, default=None)
     p.add_argument("--target_update_interval", type=int, default=None)
-    p.add_argument("--automatic_entropy_tuning", type=lambda s: s != "0",
-                   default=None)
+    p.add_argument("--automatic_entropy_tuning", type=_str2bool,
+                   default=None,
+                   help="true/false/1/0/yes/no (the reference's type=bool "
+                        "flag treats any non-empty string as True; we parse "
+                        "properly)")
     # episodes / env
     p.add_argument("--max_episodes", type=int, default=None)
     p.add_argument("--max_episode_steps", type=int, default=None)
@@ -79,7 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full-state checkpoint path to write")
     p.add_argument("--resume", default=None,
                    help="full-state checkpoint to resume from (true "
-                        "resume: params/opt/lambda/rho/replay/PRNG)")
+                        "resume: params/opt/lambda/rho/replay/PRNG). "
+                        "Checkpoints are pickle files: only resume from "
+                        "paths you trust (unpickling executes code)")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace dir (first episode)")
     return p
@@ -202,7 +216,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                                    include_barrier=is_nbc)
                 if checkpoint_path is None:
                     checkpoint_path = os.path.join(output_dir,
-                                                   "checkpoint.msgpack")
+                                                   "checkpoint.pkl")
                 save_checkpoint(checkpoint_path, ts, rl_replay,
                                 node_replay, key, total_steps, i_episode)
 

@@ -47,7 +47,7 @@ def test_full_state_roundtrip_resume(tmp_path):
     key = jax.random.PRNGKey(1)
     ts, rl, node, m, total = run(ts, rl, node, key, jnp.int32(0),
                                  jnp.int32(0))
-    path = os.path.join(tmp_path, "ckpt.msgpack")
+    path = os.path.join(tmp_path, "ckpt.pkl")
     save_checkpoint(path, ts, rl, node, key, total, 0,
                     extra={"note": "test"})
 
@@ -77,7 +77,7 @@ def test_structure_mismatch_detected(tmp_path):
     cfg = tiny_cfg()
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     rl, node = create_replays(cfg)
-    path = os.path.join(tmp_path, "ckpt.msgpack")
+    path = os.path.join(tmp_path, "ckpt.pkl")
     save_checkpoint(path, ts, rl, node, jax.random.PRNGKey(0), 0, 0)
 
     cfg2 = dataclasses.replace(
