@@ -32,17 +32,27 @@ from nlbac_tpu.ode import solvers
 
 
 def odeint_adjoint(field, params, y0, t0, t1, *, method: str = "euler",
-                   num_steps: int = 1):
-    """Fixed-step integration with adjoint (backsolve) gradients.
+                   num_steps: int = 1, rtol: float = 1e-5,
+                   atol: float = 1e-7, max_steps: int = 512):
+    """Integration with adjoint (backsolve) gradients.
 
-    Same forward values as ``solvers.solve_fixed``; the VJP re-integrates
-    backwards instead of storing forward stages.
-    """
+    Same forward values as ``solvers.odeint``; the VJP re-integrates the
+    augmented system backwards instead of storing forward stages.  Supports
+    every solver the forward path does: the fixed-step RK family
+    (``num_steps`` applies) and ``'dopri5'`` (adaptive both ways —
+    ``rtol``/``atol``/``max_steps`` govern forward AND backward solves, the
+    torchdiffeq ``odeint_adjoint`` capability surface)."""
+
+    def _integrate(f, p, y, lo, hi):
+        if method == "dopri5":
+            return solvers.solve_adaptive(f, p, y, lo, hi, rtol=rtol,
+                                          atol=atol, max_steps=max_steps)
+        return solvers.solve_fixed(f, p, y, lo, hi, method=method,
+                                   num_steps=num_steps)
 
     @jax.custom_vjp
     def _solve(params_, y0_):
-        return solvers.solve_fixed(field, params_, y0_, t0, t1,
-                                   method=method, num_steps=num_steps)
+        return _integrate(field, params_, y0_, t0, t1)
 
     def _fwd(params_, y0_):
         y1 = _solve(params_, y0_)
@@ -60,9 +70,7 @@ def odeint_adjoint(field, params, y0, t0, t1, *, method: str = "euler",
             return (jax.tree.map(jnp.negative, f_y), gy, gp)
 
         aug0 = (y1, g, zero_p)
-        _, a0, grad_p = solvers.solve_fixed(rev_field, None, aug0, t0, t1,
-                                            method=method,
-                                            num_steps=num_steps)
+        _, a0, grad_p = _integrate(rev_field, None, aug0, t0, t1)
         return grad_p, a0
 
     _solve.defvjp(_fwd, _bwd)

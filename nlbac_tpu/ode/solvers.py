@@ -159,24 +159,22 @@ _DP_B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 
 
 def _dopri5_step(field: Field, params, t, y, dt):
-    """One dopri5 trial step; returns (5th-order y, 4th-order y)."""
+    """One dopri5 trial step on a PYTREE state; returns
+    (5th-order y, 4th-order y)."""
     ks = []
     for i in range(7):
         yi = y
         for j, a in enumerate(_DP_A[i]):
-            yi = yi + dt * a * ks[j]
+            yi = _axpy(dt * a, ks[j], yi)
         ks.append(field(params, t + _DP_C[i] * dt, yi))
-    y5 = y
-    y4 = y
-    for w5, w4, k in zip(_DP_B5, _DP_B4, ks):
-        y5 = y5 + dt * w5 * k
-        y4 = y4 + dt * w4 * k
+    y5 = _comb(y, dt, list(zip(_DP_B5, ks)))
+    y4 = _comb(y, dt, list(zip(_DP_B4, ks)))
     return y5, y4
 
 
 class _AdaptState(NamedTuple):
     t: jnp.ndarray
-    y: jnp.ndarray
+    y: jnp.ndarray  # pytree
     dt: jnp.ndarray
     err_prev: jnp.ndarray
     n_steps: jnp.ndarray
@@ -188,14 +186,23 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
                    max_factor: float = 10.0):
     """Adaptive dopri5 with a PI step-size controller, as a bounded
     ``lax.while_loop`` (static ``max_steps`` backstop keeps it compilable).
+
+    The state ``y0`` may be any pytree (needed by the adjoint's augmented
+    system); the error norm is the RMS over all leaf elements, matching
+    torchdiffeq's ``rms_norm`` over the flattened tuple state.
     """
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
     dt0 = (t1 - t0) * 0.1
 
     def err_norm(y5, y4, y):
-        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
-        return jnp.sqrt(jnp.mean(jnp.square((y5 - y4) / scale)))
+        def leaf_sq(a5, a4, a):
+            scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(a5))
+            return jnp.sum(jnp.square((a5 - a4) / scale))
+        sq = jax.tree.map(leaf_sq, y5, y4, y)
+        total = sum(jax.tree.leaves(sq))
+        n = sum(x.size for x in jax.tree.leaves(y))
+        return jnp.sqrt(total / n)
 
     def cond(s: _AdaptState):
         return jnp.logical_and(s.t < t1, s.n_steps < max_steps)
@@ -212,7 +219,7 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
         new_dt = dt * factor
         return _AdaptState(
             t=jnp.where(accept, s.t + dt, s.t),
-            y=jnp.where(accept, y5, s.y),
+            y=jax.tree.map(lambda a, b: jnp.where(accept, a, b), y5, s.y),
             dt=new_dt,
             err_prev=jnp.where(accept, err_c, s.err_prev),
             n_steps=s.n_steps + 1,

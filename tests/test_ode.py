@@ -148,3 +148,65 @@ def test_node_predict_with_dopri5_solver():
     pred_rk = predict_next_state(cfg_rk, params, x, u, 0.02)
     np.testing.assert_allclose(np.asarray(pred_adaptive),
                                np.asarray(pred_rk), atol=1e-4)
+
+
+def test_dopri5_pytree_state():
+    """solve_adaptive accepts arbitrary pytree states (the adjoint's
+    augmented system is a (y, a, grads) tuple)."""
+    from nlbac_tpu.ode.solvers import solve_adaptive
+
+    def field(params, t, y):
+        a, b = y
+        return (-a, {"v": -2.0 * b["v"]})
+
+    y0 = (jnp.array([1.0, 2.0]), {"v": jnp.array([3.0])})
+    a1, b1 = solve_adaptive(field, None, y0, 0.0, 1.0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a1),
+                               np.asarray(y0[0]) * np.exp(-1.0), rtol=1e-4)
+    np.testing.assert_allclose(float(b1["v"][0]), 3.0 * np.exp(-2.0),
+                               rtol=1e-4)
+
+
+def test_adjoint_dopri5_matches_discretize_then_optimize():
+    """Adjoint gradients through the ADAPTIVE solver agree with
+    differentiate-through-a-fine-fixed-grid on a stiff-ish nonlinear field
+    (the torchdiffeq odeint_adjoint capability, VERDICT r1 item 8)."""
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (3, 3)) * 0.4
+    y0 = jnp.array([0.8, -0.3, 0.2])
+
+    def stiff_field(params, t, y):
+        # linear fast-decay part + tanh coupling: mildly stiff
+        return -4.0 * y + jnp.tanh(y @ params)
+
+    def loss_direct(p):
+        y = solve_fixed(stiff_field, p, y0, 0.0, 1.0, method="rk4",
+                        num_steps=256)
+        return jnp.sum(jnp.square(y))
+
+    def loss_adjoint(p):
+        y = odeint_adjoint(stiff_field, p, y0, 0.0, 1.0, method="dopri5",
+                           rtol=1e-6, atol=1e-9)
+        return jnp.sum(jnp.square(y))
+
+    v1, g1 = jax.value_and_grad(loss_direct)(w)
+    v2, g2 = jax.value_and_grad(loss_adjoint)(w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_adjoint_dopri5_y0_gradients():
+    y0 = jnp.array([0.5, -0.4])
+
+    def field(params, t, y):
+        return params * y
+
+    def loss(y):
+        out = odeint_adjoint(field, jnp.float32(-1.3), y, 0.0, 0.7,
+                             method="dopri5", rtol=1e-6, atol=1e-9)
+        return jnp.sum(out)
+
+    g = jax.grad(loss)(y0)
+    # dL/dy0 = exp(lam * t) elementwise
+    np.testing.assert_allclose(np.asarray(g),
+                               np.full(2, np.exp(-1.3 * 0.7)), rtol=1e-3)
