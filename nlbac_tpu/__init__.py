@@ -14,7 +14,6 @@ CUDA/torch programs, see /root/reference) as ONE library:
 - ``nlbac_tpu.train``        episode driver, backup-controller supervisor,
                              checkpointing, logging, CLI
 - ``nlbac_tpu.parallel``     device meshes, seed-/batch-parallel training
-- ``nlbac_tpu.ops``          Pallas TPU kernels for the hot paths
 - ``nlbac_tpu.utils``        output dirs, config snapshots, plotting, eval
 
 Everything in the compute path is jittable; the per-episode loop compiles

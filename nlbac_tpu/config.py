@@ -45,7 +45,6 @@ class NodeConfig:
     update_interval: int = 10  # --NODE_model_update_interval default
     max_batch: int = 32768  # UNI/sac_cbf_clf/sac_cbf_clf.py:206
     fit_episode_limit: Optional[int] = None  # PVTOL: fit only while ep<=100
-    use_pallas: bool = False  # route field evals through the Pallas kernel
 
     @property
     def input_dim(self) -> int:

@@ -117,14 +117,10 @@ def predict_next_state(cfg: NodeConfig, params, x, u, dt, t=None,
     Mirrors ``odeint(model, [x,u], [0,dt], method)[-1][:, :n_s]`` in the
     reference (UNI/sac_cbf_clf/sac_cbf_clf.py:449-455).
 
-    With ``cfg.use_pallas`` (control-affine form, 1-step Euler), the
-    forward routes through the fused Pallas kernel
-    (nlbac_tpu.ops.node_kernel); gradients are identical either way."""
-    if (cfg.use_pallas and cfg.form == "control_affine"
-            and cfg.solver == "euler" and cfg.solver_steps == 1
-            and x.ndim == 2):
-        from nlbac_tpu.ops.node_kernel import fused_euler_step
-        return fused_euler_step(cfg, params, x, u, float(dt))
+    Deliberately XLA-only: a hand-written Pallas fusion of this step was
+    built and measured in rounds 1-2 and LOST end-to-end (1030 vs 1201
+    steps/s) because ``pallas_call`` is a fusion barrier inside the fused
+    episode program — see DESIGN.md §3 for the numbers."""
     if field is None:
         field = make_field(cfg)
     s0 = pack_input(cfg, x, u, t)
