@@ -5,10 +5,17 @@ node_model[/barrier] .pkl, UNI/sac_cbf_clf/sac_cbf_clf.py:322-339) and
 loses optimizer, replay, multiplier, and RNG state — there is NO true
 resume (SURVEY.md §5).  Here the ENTIRE training state — params, opt
 states, lambda/rho, both replay buffers, the PRNG key, and step counters —
-is one pytree moved to host numpy and pickled atomically, so a resumed run
-continues bit-for-bit.  (flax msgpack can't encode NamedTuple nodes like
-Replay/LagrangianState, so the full-state path uses pickle; the pytree
-LEAVES are plain numpy arrays either way.)
+is saved atomically so a resumed run continues bit-for-bit.
+
+Format: one ``.npz`` archive of flattened pytree LEAVES (named
+``<section>.<index>``) plus a JSON manifest of per-leaf shapes/dtypes.
+The tree STRUCTURE is never serialized: restore flattens the caller's
+config-built templates and unflattens the loaded leaves with the
+template treedef, validating shapes/dtypes leaf-by-leaf.  This is
+version-sturdy (no class imports) and safe to load from untrusted paths
+(numpy arrays only; ``np.load(..., allow_pickle=False)``).  Legacy
+round-1 pickle checkpoints are still readable (sniffed by magic bytes) —
+only load those from paths you trust.
 
 ``save_model_weights`` additionally writes the reference-shaped
 weights-only checkpoint for users who only want the policy.
@@ -16,6 +23,8 @@ weights-only checkpoint for users who only want the policy.
 
 from __future__ import annotations
 
+import io
+import json
 import os
 import pickle
 from typing import Any, Dict, Tuple
@@ -24,50 +33,102 @@ import jax
 import numpy as np
 
 
-
 def _to_host(tree):
     return jax.tree.map(np.asarray, tree)
+
+
+_SECTIONS = ("train_state", "rl_replay", "node_replay")
 
 
 def save_checkpoint(path: str, ts, rl_replay, node_replay, key,
                     total_steps, i_episode, extra: Dict[str, Any] | None
                     = None) -> None:
-    state = {
-        "train_state": _to_host(ts),
-        "rl_replay": _to_host(rl_replay),
-        "node_replay": _to_host(node_replay),
-        "key": np.asarray(key),
-        "total_steps": int(total_steps),
-        "i_episode": int(i_episode),
-        "extra": extra or {},
-    }
+    trees = {"train_state": ts, "rl_replay": rl_replay,
+             "node_replay": node_replay}
+    arrays: Dict[str, np.ndarray] = {}
+    manifest: Dict[str, Any] = {"format": 2, "sections": {}}
+    for name in _SECTIONS:
+        leaves = jax.tree.leaves(_to_host(trees[name]))
+        manifest["sections"][name] = [
+            {"shape": list(a.shape), "dtype": str(a.dtype)} for a in leaves]
+        for i, a in enumerate(leaves):
+            arrays[f"{name}.{i}"] = a
+    arrays["key"] = np.asarray(key)
+    arrays["counters"] = np.array([int(total_steps), int(i_episode)],
+                                  np.int64)
+    manifest["extra"] = extra or {}
+    arrays["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
     with open(tmp, "wb") as f:
-        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.write(buf.getvalue())
     os.replace(tmp, path)
+
+
+def _restore_npz(path, templates):
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode())
+        out = {}
+        for name in _SECTIONS:
+            specs = manifest["sections"][name]
+            leaves = [z[f"{name}.{i}"] for i in range(len(specs))]
+            t_leaves, treedef = jax.tree.flatten(templates[name])
+            if len(t_leaves) != len(leaves):
+                raise ValueError(
+                    f"checkpoint {name} has {len(leaves)} leaves but the "
+                    f"current config expects {len(t_leaves)} — structure "
+                    "mismatch (was the config changed since saving?)")
+            for i, (got, want) in enumerate(zip(leaves, t_leaves)):
+                want_shape = tuple(np.shape(want))
+                want_dtype = np.asarray(want).dtype
+                if (tuple(got.shape) != want_shape
+                        or got.dtype != want_dtype):
+                    raise ValueError(
+                        f"checkpoint {name} leaf {i}: {got.shape}/"
+                        f"{got.dtype} != expected {want_shape}/"
+                        f"{want_dtype} — shape mismatch (was the config "
+                        "changed since saving?)")
+            out[name] = jax.tree.unflatten(treedef, leaves)
+        counters = z["counters"]
+        return (out["train_state"], out["rl_replay"], out["node_replay"],
+                z["key"].copy(), int(counters[0]), int(counters[1]),
+                manifest.get("extra", {}))
+
+
+def _restore_pickle(path, templates):
+    """Legacy round-1 format. Pickle executes code on load — trusted
+    paths only."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    for name in _SECTIONS:
+        saved_td = jax.tree.structure(state[name])
+        want_td = jax.tree.structure(templates[name])
+        if saved_td != want_td:
+            raise ValueError(
+                f"checkpoint {name} structure mismatch: was the config "
+                f"changed since saving? ({saved_td} != {want_td})")
+    return (state["train_state"], state["rl_replay"],
+            state["node_replay"], state["key"], state["total_steps"],
+            state["i_episode"], state["extra"])
 
 
 def restore_checkpoint(path: str, ts_template, rl_template, node_template,
                        key_template) -> Tuple[Any, Any, Any, Any, int, int,
                                               Dict[str, Any]]:
-    """Restore a checkpoint; the templates are used only to validate that
-    the saved structure matches the current config."""
-    with open(path, "rb") as f:
-        state = pickle.load(f)
-    for name, template in (("train_state", ts_template),
-                           ("rl_replay", rl_template),
-                           ("node_replay", node_template)):
-        saved_td = jax.tree.structure(state[name])
-        want_td = jax.tree.structure(template)
-        if saved_td != want_td:
-            raise ValueError(
-                f"checkpoint {name} structure mismatch: was the config "
-                f"changed since saving? ({saved_td} != {want_td})")
+    """Restore a checkpoint; the templates supply the tree structure and
+    validate that the saved arrays match the current config."""
     del key_template
-    return (state["train_state"], state["rl_replay"],
-            state["node_replay"], state["key"], state["total_steps"],
-            state["i_episode"], state["extra"])
+    templates = {"train_state": ts_template, "rl_replay": rl_template,
+                 "node_replay": node_template}
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":  # npz = zip archive
+        return _restore_npz(path, templates)
+    return _restore_pickle(path, templates)
 
 
 def save_model_weights(output_dir: str, ts, include_barrier: bool = False

@@ -92,8 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None,
                    help="full-state checkpoint to resume from (true "
                         "resume: params/opt/lambda/rho/replay/PRNG). "
-                        "Checkpoints are pickle files: only resume from "
-                        "paths you trust (unpickling executes code)")
+                        "Native format is npz (arrays only, safe to "
+                        "load); legacy round-1 pickle checkpoints also "
+                        "load but execute code — trusted paths only")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace dir (first episode)")
     return p
@@ -216,7 +217,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                                    include_barrier=is_nbc)
                 if checkpoint_path is None:
                     checkpoint_path = os.path.join(output_dir,
-                                                   "checkpoint.pkl")
+                                                   "checkpoint.npz")
                 save_checkpoint(checkpoint_path, ts, rl_replay,
                                 node_replay, key, total_steps, i_episode)
 

@@ -171,22 +171,31 @@ def main():
               f"plain NN {nn_mse:.3e} (ref {ref['nn']})  [{dt:.0f}s]",
               flush=True)
 
-    with open("PARITY.md", "w") as f:
-        f.write("# PARITY — NODE one-step MSE vs the reference's "
-                "published table\n\n")
-        f.write("Protocol: 20k random-policy transitions per env, 90/10 "
+    section = ("# PARITY — NODE one-step MSE vs the reference's "
+               "published table\n\n")
+    section += ("Protocol: 20k random-policy transitions per env, 90/10 "
                 f"split, {steps} Adam(1e-3) steps, one-step Euler "
                 "prediction in NODE state space (reference README.md:"
                 "90-108; measured here on "
                 f"{jax.default_backend()}).\n\n")
-        f.write("| Env | NODE MSE (ours) | NODE MSE (reference) | "
+    section += ("| Env | NODE MSE (ours) | NODE MSE (reference) | "
                 "plain-NN MSE (ours) | plain-NN MSE (reference) |\n")
-        f.write("|---|---|---|---|---|\n")
-        for name, nm, rn_, pm, rp, _ in rows:
-            f.write(f"| {name} | {nm:.3e} | {rn_} | {pm:.3e} | {rp} |\n")
-        f.write("\nLower is better; 'ours' should be at or below the "
+    section += "|---|---|---|---|---|\n"
+    for name, nm, rn_, pm, rp, _ in rows:
+        section += f"| {name} | {nm:.3e} | {rn_} | {pm:.3e} | {rp} |\n"
+    section += ("\nLower is better; 'ours' should be at or below the "
                 "reference NODE column.\n")
-    print("wrote PARITY.md")
+    # Replace only this script's section (up to the first '## ' heading);
+    # PARITY.md accumulates end-to-end run sections below it.
+    try:
+        existing = open("PARITY.md").read()
+        cut = existing.find("\n## ")
+        rest = existing[cut:] if cut != -1 else ""
+    except FileNotFoundError:
+        rest = ""
+    with open("PARITY.md", "w") as f:
+        f.write(section + rest)
+    print("wrote PARITY.md (table section only)")
 
 
 if __name__ == "__main__":

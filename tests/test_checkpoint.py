@@ -108,3 +108,51 @@ def test_weights_only_reference_layout(tmp_path):
     assert _trees_equal(ts.node, ts2.node)
     # untouched parts stay from the new init
     assert not _trees_equal(ts.backup_policy, ts2.backup_policy)
+
+
+def test_npz_format_and_legacy_pickle_both_restore(tmp_path):
+    """Native checkpoints are npz (arrays only, allow_pickle=False);
+    legacy round-1 pickle files are sniffed by magic and still load."""
+    import pickle
+    import zipfile
+
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    key = jax.random.PRNGKey(7)
+
+    npz_path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(npz_path, ts, rl, node, key, 5, 2, extra={"a": 1})
+    assert zipfile.is_zipfile(npz_path)  # npz = zip, no pickle inside
+
+    # hand-write the legacy pickle layout
+    pkl_path = os.path.join(tmp_path, "ckpt_legacy.pkl")
+    host = lambda t: jax.tree.map(np.asarray, t)
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"train_state": host(ts), "rl_replay": host(rl),
+                     "node_replay": host(node), "key": np.asarray(key),
+                     "total_steps": 5, "i_episode": 2,
+                     "extra": {"a": 1}}, f)
+
+    for path in (npz_path, pkl_path):
+        ts2, rl2, node2, key2, total2, ep2, extra = restore_checkpoint(
+            path, ts, rl, node, key)
+        assert _trees_equal(ts, ts2), path
+        assert _trees_equal(node, node2), path
+        assert (int(total2), int(ep2)) == (5, 2)
+        assert extra == {"a": 1}
+
+
+def test_npz_shape_mismatch_detected(tmp_path):
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, ts, rl, node, jax.random.PRNGKey(0), 0, 0)
+
+    cfg2 = dataclasses.replace(
+        cfg, replay=ReplayConfig(capacity=64, node_capacity=64))
+    rl2, node2 = create_replays(cfg2)
+    import pytest
+    with pytest.raises(ValueError, match="mismatch"):
+        restore_checkpoint(path, ts, rl2, node2, jax.random.PRNGKey(0))

@@ -51,7 +51,7 @@ def test_train_writes_all_artifacts(tmp_path):
     train(cfg, output_dir=out, quiet=True)
 
     for f in ("progress.txt", "config.json", "actor.pkl", "critic.pkl",
-              "lyapunov.pkl", "node_model.pkl", "checkpoint.pkl"):
+              "lyapunov.pkl", "node_model.pkl", "checkpoint.npz"):
         assert os.path.exists(os.path.join(out, f)), f
 
     from nlbac_tpu.utils.plot import load_progress
@@ -78,7 +78,7 @@ def test_train_resume_from_checkpoint(tmp_path):
     )
     out1 = str(tmp_path / "a")
     train(cfg, output_dir=out1, quiet=True)
-    ckpt = os.path.join(out1, "checkpoint.pkl")
+    ckpt = os.path.join(out1, "checkpoint.npz")
     assert os.path.exists(ckpt)
 
     # resume with a larger budget: runs only the remaining episodes
