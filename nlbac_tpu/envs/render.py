@@ -170,3 +170,67 @@ def save_video(frames: List[np.ndarray], path: str, fps: int = 30) -> str:
         for i, fr in enumerate(frames):
             imsave(os.path.join(base, f"frame_{i:05d}.png"), fr)
         return base
+
+
+class LiveViewer:
+    """Interactive live viewer — the reference's pyglet Viewer capability
+    (UNI/envs/pyglet_rendering.py:79-455, ``env.render(mode='human')``).
+
+    Displays frames in an interactive matplotlib window when a GUI
+    backend + display are available; on headless hosts it degrades to
+    collecting frames in ``self.frames`` (one warning), so rollout code
+    can call ``show`` unconditionally and still produce a video.
+    """
+
+    def __init__(self, env_name: str, max_kept_frames: int = 10000):
+        self.env_name = env_name
+        self.frames: List[np.ndarray] = []
+        self._max_kept = max_kept_frames
+        self._im = None
+        self._fig = None
+        self._interactive = None  # decided on first show()
+
+    def _try_open_window(self, frame) -> bool:
+        import os
+        if not (os.environ.get("DISPLAY") or os.environ.get(
+                "WAYLAND_DISPLAY")):
+            return False
+        try:
+            import matplotlib
+            import matplotlib.pyplot as plt
+            if matplotlib.get_backend().lower() == "agg":
+                return False
+            plt.ion()
+            self._fig = plt.figure(f"nlbac-tpu: {self.env_name}")
+            ax = self._fig.add_axes([0, 0, 1, 1])
+            ax.axis("off")
+            self._im = ax.imshow(frame)
+            return True
+        except Exception:
+            return False
+
+    def show(self, state, trajectory=None) -> np.ndarray:
+        """Render one frame and display (or collect) it; returns it."""
+        frame = render(self.env_name, state, trajectory)
+        if self._interactive is None:
+            self._interactive = self._try_open_window(frame)
+            if not self._interactive:
+                import warnings
+                warnings.warn(
+                    "no interactive display available; LiveViewer is "
+                    "collecting frames (use .frames / save_video)",
+                    stacklevel=2)
+        if self._interactive:
+            import matplotlib.pyplot as plt
+            self._im.set_data(frame)
+            self._fig.canvas.draw_idle()
+            plt.pause(0.001)
+        if len(self.frames) < self._max_kept:
+            self.frames.append(frame)
+        return frame
+
+    def close(self) -> None:
+        if self._fig is not None:
+            import matplotlib.pyplot as plt
+            plt.close(self._fig)
+            self._fig = self._im = None

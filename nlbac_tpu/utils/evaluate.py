@@ -30,7 +30,8 @@ from nlbac_tpu.train.checkpoint import load_model_weights
 
 
 def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
-               render_path: Optional[str] = None, deterministic=True):
+               render_path: Optional[str] = None, deterministic=True,
+               display: bool = False):
     env = get_env(cfg.env.name)
     spec = action_spec(cfg)
 
@@ -70,6 +71,10 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
 
     results = []
     frames = []
+    viewer = None
+    if display:  # mode='human' equivalent (pyglet Viewer parity)
+        from nlbac_tpu.envs.render import LiveViewer
+        viewer = LiveViewer(cfg.env.name)
     for ep in range(episodes):
         r, n, v, states = rollout(ts.policy, jax.random.PRNGKey(seed + ep))
         n = int(n)
@@ -77,6 +82,11 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
                         "violations": float(v)})
         print(f"eval ep {ep}: return={float(r):.2f} len={n} "
               f"violations={float(v):.0f}")
+        if viewer is not None:
+            traj = np.asarray(states[:n])
+            stride = max(1, n // 150)
+            for i in range(0, n, stride):
+                viewer.show(traj[i], trajectory=traj[:i + 1])
         if render_path and ep == 0:
             from nlbac_tpu.envs.render import render, save_video
             traj = np.asarray(states[:n])
@@ -84,6 +94,8 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
             for i in range(0, n, stride):
                 frames.append(render(cfg.env.name, traj[i],
                                      trajectory=traj[:i + 1]))
+    if viewer is not None:
+        viewer.close()
     if render_path and frames:
         from nlbac_tpu.envs.render import save_video
         out = save_video(frames, render_path)
@@ -101,6 +113,10 @@ def main(argv=None):
     p.add_argument("--episodes", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render", default=None)
+    p.add_argument("--display", action="store_true",
+                   help="live interactive window while evaluating "
+                        "(mode='human'; falls back to frame collection "
+                        "on headless hosts)")
     p.add_argument("--stochastic", action="store_true")
     args = p.parse_args(argv)
 
@@ -110,7 +126,7 @@ def main(argv=None):
                             include_barrier=(cfg.constraint.kind
                                              == "learned_barrier"))
     run_policy(cfg, ts, episodes=args.episodes, seed=args.seed,
-               render_path=args.render,
+               render_path=args.render, display=args.display,
                deterministic=not args.stochastic)
 
 

@@ -160,3 +160,25 @@ def test_evaluator_run_policy(tmp_path):
         assert np.isfinite(r["return"])
     # deterministic head -> identical episodes for the deterministic env
     assert results[0]["return"] == results[1]["return"]
+
+
+def test_evaluator_display_mode_headless(tmp_path):
+    """--display (mode='human') degrades gracefully on headless hosts:
+    frames are collected instead of a window."""
+    import warnings
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.utils.evaluate import run_policy
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episode_steps", "8",
+        "--hidden_size", "8",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg, node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                      f_hidden_layers=1,
+                                      g_hidden_layers=1))
+    ts = create_train_state(cfg, __import__("jax").random.PRNGKey(0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        results = run_policy(cfg, ts, episodes=1, seed=0, display=True)
+    assert len(results) == 1

@@ -241,3 +241,22 @@ def test_get_env_factory():
     assert get_env("unicycle") is unicycle
     with pytest.raises(ValueError):
         get_env("quadrotor9000")
+
+
+def test_live_viewer_headless_fallback():
+    """mode='human' capability: on a headless host the LiveViewer warns
+    once and collects frames instead of opening a window."""
+    import warnings
+    from nlbac_tpu.envs.render import LiveViewer
+
+    v = LiveViewer("unicycle")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        f1 = v.show([0.0, 0.0, 0.3])
+        f2 = v.show([0.5, 0.1, 0.4])
+    assert any("interactive display" in str(x.message) for x in w)
+    assert f1.ndim == 3 and f1.shape[2] == 3
+    assert len(v.frames) == 2
+    import numpy as _np
+    assert not _np.array_equal(f1, f2)
+    v.close()
