@@ -6,5 +6,6 @@ from nlbac_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_seed_parallel_runner,
     proc_id,
+    shard_params_tp,
     statistics_scalar,
 )

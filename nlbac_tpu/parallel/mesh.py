@@ -205,3 +205,41 @@ def make_dp_update(cfg: NLBACConfig, mesh: Mesh, dp_axis: str = "dp"):
                                        i_episode)
 
     return place, dp_update
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding hooks
+# ---------------------------------------------------------------------------
+
+def shard_params_tp(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Megatron-style sharding annotations for an MLP param tree — the
+    SURVEY §2.3 'sharding-annotation hooks so pjit can shard if models
+    grow'. Not needed at the reference's widths (<=256), but the hook
+    makes any ``mlp_apply`` consumer TP-ready: alternate layers split the
+    output dim (column-parallel) and the input dim (row-parallel);
+    running the unchanged apply under jit lets GSPMD insert the
+    all-reduces over ICI.
+
+    Dims that don't divide the tp axis size (e.g. the final scalar head)
+    stay replicated, so the hook is safe on every net in the zoo."""
+    ntp = mesh.shape[tp_axis]
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    new_w, new_b = [], []
+    want_col = True
+    for w, b in zip(params["w"], params["b"]):
+        din, dout = w.shape
+        if want_col and dout % ntp == 0:
+            new_w.append(put(w, P(None, tp_axis)))
+            new_b.append(put(b, P(tp_axis)))
+            want_col = False
+        elif not want_col and din % ntp == 0:
+            new_w.append(put(w, P(tp_axis, None)))
+            new_b.append(put(b, P()))
+            want_col = True
+        else:  # non-divisible dim: replicate this layer
+            new_w.append(put(w, P()))
+            new_b.append(put(b, P()))
+    return {"w": new_w, "b": new_b}
