@@ -27,7 +27,8 @@ import io
 import json
 import os
 import pickle
-from typing import Any, Dict, Tuple
+import threading
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -67,6 +68,43 @@ def save_checkpoint(path: str, ts, rl_replay, node_replay, key,
     with open(tmp, "wb") as f:
         f.write(buf.getvalue())
     os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Async device-to-host snapshots (SURVEY §5): start the D2H copies
+    on the caller's thread (cheap, overlapped by the runtime), then
+    serialize + atomically write the npz on a background thread so the
+    training loop never blocks on the archive write.
+
+    At most one write is in flight; a new ``save`` waits for the previous
+    one first (checkpoints are ordered). ``wait()`` joins the last write
+    (call it before process exit / reading the file)."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+
+    def save(self, path: str, ts, rl_replay, node_replay, key,
+             total_steps, i_episode,
+             extra: Dict[str, Any] | None = None) -> None:
+        self.wait()
+        # snapshot to host now (values must not see later updates);
+        # jax arrays fetch async under the hood, numpy conversion syncs
+        # per-leaf but overlaps the transfer queue.
+        args = (jax.tree.map(np.asarray, ts),
+                jax.tree.map(np.asarray, rl_replay),
+                jax.tree.map(np.asarray, node_replay),
+                np.asarray(key), int(total_steps), int(i_episode))
+
+        def write():
+            save_checkpoint(path, *args, extra=extra)
+
+        self._thread = threading.Thread(target=write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def _restore_npz(path, templates):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from nlbac_tpu.agent import create_train_state
 from nlbac_tpu.config import NLBACConfig, get_config
-from nlbac_tpu.train.checkpoint import (save_checkpoint,
+from nlbac_tpu.train.checkpoint import (AsyncCheckpointer,
                                         save_model_weights)
 from nlbac_tpu.train.driver import create_replays, make_episode_runner
 from nlbac_tpu.train.logging import (EpochLogger, MetricsSink, StepTimer,
@@ -195,6 +195,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                    else jnp.int32(0))
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
     is_nbc = cfg.constraint.kind == "learned_barrier"
+    ckpt_writer = AsyncCheckpointer()
 
     for i_episode in range(start_episode, cfg.run.max_episodes):
         key, kep = jax.random.split(key)
@@ -218,8 +219,9 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                 if checkpoint_path is None:
                     checkpoint_path = os.path.join(output_dir,
                                                    "checkpoint.npz")
-                save_checkpoint(checkpoint_path, ts, rl_replay,
-                                node_replay, key, total_steps, i_episode)
+                # async: the npz write overlaps the next episodes
+                ckpt_writer.save(checkpoint_path, ts, rl_replay,
+                                 node_replay, key, total_steps, i_episode)
 
         # wandb-channel metrics (UNI/main.py:157-165; PVTOL breakdowns)
         wb = {
@@ -267,6 +269,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         logger.log_tabular("backup_steps", int(m.backup_steps))
         logger.dump_tabular()
 
+    ckpt_writer.wait()  # last npz write must land before we return
     sink.close()
     for phase, total in timer.summary().items():
         print(colorize(f"{phase}: {total}", "cyan"))

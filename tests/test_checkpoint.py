@@ -156,3 +156,31 @@ def test_npz_shape_mismatch_detected(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="mismatch"):
         restore_checkpoint(path, ts, rl2, node2, jax.random.PRNGKey(0))
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer writes on a background thread; wait() makes the
+    file durable and the content equals a synchronous save."""
+    from nlbac_tpu.train.checkpoint import AsyncCheckpointer
+
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl, node = create_replays(cfg)
+    key = jax.random.PRNGKey(3)
+
+    w = AsyncCheckpointer()
+    path = os.path.join(tmp_path, "async.npz")
+    w.save(path, ts, rl, node, key, 9, 4, extra={"k": "v"})
+    w.wait()
+    ts2, rl2, node2, key2, total2, ep2, extra = restore_checkpoint(
+        path, ts, rl, node, key)
+    assert _trees_equal(ts, ts2) and _trees_equal(rl, rl2)
+    assert (int(total2), int(ep2)) == (9, 4)
+    assert extra == {"k": "v"}
+
+    # back-to-back saves serialize (ordered, at most one in flight)
+    w.save(path, ts, rl, node, key, 10, 5)
+    w.save(path, ts, rl, node, key, 11, 6)
+    w.wait()
+    *_, total3, ep3, _ = restore_checkpoint(path, ts, rl, node, key)
+    assert (int(total3), int(ep3)) == (11, 6)
