@@ -253,7 +253,9 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         logger.store(Episode=i_episode, episode_steps=int(m.steps),
                      reward_train=float(m.reward),
                      cost_train=float(m.num_violations),
-                     safety_cost_train=float(m.safety_cost))
+                     safety_cost_train=float(m.safety_cost),
+                     goal_met=float(m.goal_met),
+                     reached=float(m.reached))
         for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
                   "alpha_loss", "alpha", "node_loss"):
             logger.store(**{k: float(m.train[k])})
@@ -262,6 +264,8 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         logger.log_tabular("reward_train")
         logger.log_tabular("cost_train")
         logger.log_tabular("safety_cost_train")
+        logger.log_tabular("goal_met")
+        logger.log_tabular("reached")
         for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
                   "alpha_loss", "alpha", "node_loss"):
             logger.log_tabular(k)

@@ -18,8 +18,15 @@ one-step MSE in the NODE's state space. Writes PARITY.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# runnable as `python scripts/node_mse_parity.py` from the repo root
+# (sys.path[0] is scripts/; do NOT use PYTHONPATH — it breaks the axon
+# TPU plugin registration, CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
