@@ -147,21 +147,32 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
     # ------------------------------------------------------------------
     def update(ts: TrainState, rl_replay, node_replay, key, i_episode
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """Sample both buffers on device, then run the batch update."""
+        """Sample both buffers on device, then run the batch update.
+
+        The NODE sample is passed as a thunk so the 32768-row gather (and
+        the packed-record unpack slices) trace into the gated fit branch
+        only — on the ~(1 - 1/update_interval) of updates where the fit is
+        skipped, ``lax.cond`` skips the gather too.  The RNG stream is
+        unchanged (keys[1] is split either way)."""
         keys = jax.random.split(key, 3)
         batch = replay_lib.sample(rl_replay, keys[0], scfg.batch_size)
         # whole-buffer sampling — see node_fit above for why there is no
         # max_index bound here (reference parity)
-        node_batch = replay_lib.sample(node_replay, keys[1],
-                                       ncfg.max_batch)
-        return update_from_batch(ts, batch, node_batch, keys[2], i_episode)
+        node_thunk = lambda: replay_lib.sample(node_replay, keys[1],
+                                               ncfg.max_batch)
+        return _update_core(ts, batch, node_thunk, keys[2], i_episode)
 
     def update_from_batch(ts: TrainState, batch, node_batch, key, i_episode
                           ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """The batch update. Shard ``batch``/``node_batch`` arrays over a
-        'dp' mesh axis (replicating ts) and GSPMD turns the batch-mean
-        reductions into psums over ICI — data-parallel training without
-        touching this function (see nlbac_tpu.parallel)."""
+        """The batch update over pre-sampled batches (dp entry point).
+        Shard ``batch``/``node_batch`` arrays over a 'dp' mesh axis
+        (replicating ts) and GSPMD turns the batch-mean reductions into
+        psums over ICI — data-parallel training without touching this
+        function (see nlbac_tpu.parallel)."""
+        return _update_core(ts, batch, lambda: node_batch, key, i_episode)
+
+    def _update_core(ts: TrainState, batch, node_batch_thunk, key, i_episode
+                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         keys = jax.random.split(key, 8)
         obs, action = batch["obs"], batch["action"]
         reward = batch["reward"][:, None]
@@ -176,7 +187,7 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                                       i_episode <= ncfg.fit_episode_limit)
 
         def fit(args):
-            return node_fit_batch(args[0], args[1], node_batch)
+            return node_fit_batch(args[0], args[1], node_batch_thunk())
 
         def skip(args):
             return args[0], args[1], jnp.float32(0.0)
