@@ -306,7 +306,13 @@ def _quadrotor() -> NLBACConfig:
         node=NodeConfig(form="mlp", state_dim=6, action_dim=2,
                         hidden_dim=100, mlp_hidden_layers=3,
                         normalize=True, state_scale=quad.STATE_SCALE,
-                        action_scale=quad.ACTION_SCALE),
+                        action_scale=quad.ACTION_SCALE,
+                        # Freeze NODE fits after ep 100 (the PVTOL-family
+                        # recipe, PVTOL/sac_cbf_clf/sac_cbf_clf.py:205).
+                        # Without the gate this workload shows Lagrangian
+                        # collapse (PARITY.md); with it, goal 60/60 and
+                        # zero violations over the final 60 episodes.
+                        fit_episode_limit=100),
         constraint=ConstraintConfig(
             kind="learned_barrier", gamma_b=1.0, gamma_l=0.1,
             clf_time_scaled=False, use_ratio=True, ratio_floor=0.002,

@@ -115,3 +115,14 @@ def test_quadrotor_episode_end_to_end():
     # learned-barrier TD trains in this preset
     assert float(m.train["barrier_td_loss"]) >= 0.0
     assert int(ts.updates) > 0
+
+
+def test_quadrotor_preset_gates_node_fit():
+    """The quadrotor preset freezes NODE fits after episode 100 (the
+    PVTOL-family recipe, PVTOL/sac_cbf_clf/sac_cbf_clf.py:205).  Measured
+    (PARITY.md): without the gate the workload shows Lagrangian collapse
+    after take-off; with it the taking-off seed trains to goal 60/60 with
+    zero violations over its final 60 episodes."""
+    from nlbac_tpu.config import get_config
+
+    assert get_config("quadrotor").node.fit_episode_limit == 100
