@@ -1,0 +1,132 @@
+"""AOT episode-program cache: skip re-tracing + re-lowering on restart.
+
+The fused episode program (train/driver.py) compiles through the axon
+REMOTE compiler; the XLA executable is covered by jax's persistent
+compilation cache, but the jaxpr->MLIR lowering happens again in every
+fresh process and — through the tunneled backend — takes anywhere from
+~5s to ~300s for the same program (measured; the variance is tunnel
+round-trip latency, not host compute).  ``jax.export`` serializes the
+lowered StableHLO module, so later processes deserialize (~0.03s) and
+jit the call wrapper (persistent-cache hit ~1s) instead of re-lowering.
+
+Measured end-to-end (unicycle, one v5e): fresh-process start-to-first-
+episode went from 60-320s (lowering variance) to ~27s total; steady-
+state episode throughput is unchanged (~2000+ steps/s).
+
+The reference has no analog (PyTorch eager re-executes per call); this
+replaces the capability cost of torchdiffeq+CUDA warmup with a cached
+XLA artifact.
+
+Fail-open: any export/deserialize error falls back to the plain
+``jax.jit(make_episode_runner(cfg))`` path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Callable, Sequence
+
+import jax
+
+_DEFAULT_CACHE_DIR = "/tmp/jax_cache_nlbac/aot"
+_registered = False
+
+
+def register_export_types() -> None:
+    """Register every custom pytree node crossing the episode-program
+    boundary with jax.export's stable serialization (idempotent)."""
+    global _registered
+    if _registered:
+        return
+    from jax import export as jexport
+    import optax
+
+    from nlbac_tpu.agent.state import TrainState
+    from nlbac_tpu.constraints import LagrangianState
+    from nlbac_tpu.replay.buffer import Replay
+    from nlbac_tpu.train.driver import EpisodeMetrics
+    from nlbac_tpu.train.supervisor import SupervisorState
+
+    for t in (TrainState, LagrangianState, EpisodeMetrics, SupervisorState,
+              optax._src.transform.ScaleByAdamState,
+              optax._src.base.EmptyState):
+        try:
+            jexport.register_namedtuple_serialization(
+                t, serialized_name=f"nlbac.{t.__module__}.{t.__name__}")
+        except ValueError:
+            pass  # already registered (idempotence across calls)
+
+    def _ser_layout(layout) -> bytes:
+        return json.dumps(layout).encode()
+
+    def _des_layout(b) -> tuple:
+        return tuple((n, o, w) for n, o, w in json.loads(bytes(b).decode()))
+
+    try:
+        jexport.register_pytree_node_serialization(
+            Replay, serialized_name="nlbac.replay.Replay",
+            serialize_auxdata=_ser_layout, deserialize_auxdata=_des_layout)
+    except ValueError:
+        pass
+    _registered = True
+
+
+def _cache_key(cfg) -> str:
+    dev = jax.devices()[0]
+    cfg_dict = dict(cfg.to_dict())
+    # the run section (seed, max_episodes, output naming, wandb) only
+    # drives the HOST loop — it never reaches the traced program, so it
+    # must not key the cache (a --max_episodes change would force a
+    # spurious re-export)
+    cfg_dict.pop("run", None)
+    ident = json.dumps(
+        {"cfg": cfg_dict, "jax": jax.__version__,
+         "backend": jax.default_backend(),
+         "device": getattr(dev, "device_kind", str(dev))},
+        sort_keys=True, default=str)
+    return hashlib.sha256(ident.encode()).hexdigest()[:24]
+
+
+def cached_episode_runner(cfg, example_args: Sequence[Any],
+                          cache_dir: str | None = None,
+                          env_override=None) -> Callable:
+    """Return a jitted episode runner, loading the serialized lowered
+    module from the AOT cache when available (and writing it on miss).
+
+    ``example_args`` must carry the exact avals the driver calls with:
+    ``(ts, rl_replay, node_replay, key, i_episode, total_steps)``.
+    Falls back to the plain jit path on any export machinery error."""
+    from nlbac_tpu.train.driver import make_episode_runner
+
+    plain = lambda: jax.jit(make_episode_runner(cfg,
+                                                env_override=env_override))
+    if env_override is not None:
+        # host-env programs contain io_callbacks whose host side can't be
+        # serialized into the module portably; keep the plain path
+        return plain()
+    try:
+        from jax import export as jexport
+
+        register_export_types()
+        cache_dir = cache_dir or _DEFAULT_CACHE_DIR
+        path = os.path.join(cache_dir, f"episode-{_cache_key(cfg)}.jaxexport")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                exported = jexport.deserialize(f.read())
+            return jax.jit(exported.call)
+        exported = jexport.export(plain())(*example_args)
+        blob = exported.serialize()
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return jax.jit(exported.call)
+    except Exception as e:  # noqa: BLE001 — fail-open to the plain path
+        import warnings
+
+        warnings.warn(f"AOT episode cache unavailable ({e!r}); "
+                      "falling back to plain jit")
+        return plain()

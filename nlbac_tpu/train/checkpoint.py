@@ -87,12 +87,16 @@ class AsyncCheckpointer:
              total_steps, i_episode,
              extra: Dict[str, Any] | None = None) -> None:
         self.wait()
-        # snapshot to host now (values must not see later updates);
-        # jax arrays fetch async under the hood, numpy conversion syncs
-        # per-leaf but overlaps the transfer queue.
-        args = (jax.tree.map(np.asarray, ts),
-                jax.tree.map(np.asarray, rl_replay),
-                jax.tree.map(np.asarray, node_replay),
+        # snapshot to host now (values must not see later updates).
+        # Kick off ALL D2H copies first, then materialize: a bare
+        # per-leaf np.asarray pays the tunnel round-trip latency
+        # serially (~6.7s/snapshot on axon; pipelined ~1.9s).
+        trees = (ts, rl_replay, node_replay)
+        for tree in trees:
+            for leaf in jax.tree.leaves(tree):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+        args = (*(jax.tree.map(np.asarray, t) for t in trees),
                 np.asarray(key), int(total_steps), int(i_episode))
 
         def write():
@@ -122,7 +126,11 @@ def _restore_npz(path, templates):
                     "mismatch (was the config changed since saving?)")
             for i, (got, want) in enumerate(zip(leaves, t_leaves)):
                 want_shape = tuple(np.shape(want))
-                want_dtype = np.asarray(want).dtype
+                # read dtype from metadata — np.asarray(want) on a jax
+                # template leaf forces a D2H transfer (~1s EACH through
+                # the axon tunnel; 225 leaves made resume take ~228s)
+                want_dtype = np.dtype(getattr(want, "dtype", None)
+                                      or np.asarray(want).dtype)
                 if (tuple(got.shape) != want_shape
                         or got.dtype != want_dtype):
                     raise ValueError(
@@ -132,9 +140,15 @@ def _restore_npz(path, templates):
                         "changed since saving?)")
             out[name] = jax.tree.unflatten(treedef, leaves)
         counters = z["counters"]
-        return (out["train_state"], out["rl_replay"], out["node_replay"],
-                z["key"].copy(), int(counters[0]), int(counters[1]),
-                manifest.get("extra", {}))
+        key = z["key"].copy()
+    # one batched H2D transfer: numpy leaves would otherwise reach the
+    # episode jit as host-placed inputs (distinct compile-cache key from
+    # the fresh-run device-placed inputs -> spurious ~minutes recompile
+    # through the axon remote compiler)
+    out, key = jax.device_put((out, key))
+    return (out["train_state"], out["rl_replay"], out["node_replay"],
+            key, int(counters[0]), int(counters[1]),
+            manifest.get("extra", {}))
 
 
 def _restore_pickle(path, templates):
@@ -149,9 +163,10 @@ def _restore_pickle(path, templates):
             raise ValueError(
                 f"checkpoint {name} structure mismatch: was the config "
                 f"changed since saving? ({saved_td} != {want_td})")
-    return (state["train_state"], state["rl_replay"],
-            state["node_replay"], state["key"], state["total_steps"],
-            state["i_episode"], state["extra"])
+    restored = jax.device_put((state["train_state"], state["rl_replay"],
+                               state["node_replay"], state["key"]))
+    return (*restored, state["total_steps"], state["i_episode"],
+            state["extra"])
 
 
 def restore_checkpoint(path: str, ts_template, rl_template, node_template,

@@ -189,7 +189,13 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # buffers in place, but buffer donation trips the axon TPU runtime
         # (InvalidArgument at execution); the copies cost ~0.1ms/episode,
         # so run un-donated.
-        run_episode = jax.jit(make_episode_runner(cfg))
+        # AOT cache: reuse the serialized lowered module across process
+        # restarts (lowering through the axon remote backend takes
+        # 5-300s; deserializing takes ~0.03s — see train/aot.py)
+        from nlbac_tpu.train.aot import cached_episode_runner
+        run_episode = cached_episode_runner(
+            cfg, (ts, rl_replay, node_replay, key, jnp.int32(0),
+                  jnp.int32(0)))
 
     total_steps = (jnp.int32(total0) if resume_path is not None
                    else jnp.int32(0))
