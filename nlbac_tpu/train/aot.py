@@ -73,6 +73,30 @@ def register_export_types() -> None:
     _registered = True
 
 
+_code_hash_cache: str | None = None
+
+
+def _code_hash() -> str:
+    """Hash of every .py source in the nlbac_tpu package: a cached
+    export must NOT survive a code change (it would silently serve the
+    OLD lowered program). ~6k LoC hashes in a few ms; memoized."""
+    global _code_hash_cache
+    if _code_hash_cache is None:
+        import nlbac_tpu
+
+        root = os.path.dirname(os.path.abspath(nlbac_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(fn.encode())
+                        h.update(f.read())
+        _code_hash_cache = h.hexdigest()[:16]
+    return _code_hash_cache
+
+
 def _cache_key(cfg) -> str:
     dev = jax.devices()[0]
     cfg_dict = dict(cfg.to_dict())
@@ -84,7 +108,8 @@ def _cache_key(cfg) -> str:
     ident = json.dumps(
         {"cfg": cfg_dict, "jax": jax.__version__,
          "backend": jax.default_backend(),
-         "device": getattr(dev, "device_kind", str(dev))},
+         "device": getattr(dev, "device_kind", str(dev)),
+         "code": _code_hash()},
         sort_keys=True, default=str)
     return hashlib.sha256(ident.encode()).hexdigest()[:24]
 
