@@ -35,6 +35,12 @@ import numpy as np
 
 
 def _to_host(tree):
+    # pipeline the D2H copies: a bare per-leaf np.asarray pays the axon
+    # tunnel round-trip latency (~1s/leaf) serially — ~50s per
+    # save_model_weights call before this
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     return jax.tree.map(np.asarray, tree)
 
 

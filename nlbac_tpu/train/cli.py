@@ -215,6 +215,13 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
             m.reward.block_until_ready()
             if profile_dir and i_episode == 1:
                 jax.profiler.stop_trace()
+        # ONE pipelined D2H fetch of the episode metrics: the float()/
+        # int() reads below would otherwise each pay a tunnel round trip
+        # (~60ms x ~15 scalars x episode count added ~190s to a 200-
+        # episode run — measured; same pathology as checkpoint._to_host)
+        from nlbac_tpu.train.checkpoint import _to_host
+        m = _to_host(m)
+        total_steps_host = int(_to_host(total_steps))
 
         # checkpoints (UNI/main.py:153-154 cadence + full state)
         if (i_episode % save_every == 0
@@ -235,7 +242,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
             "Episode Length": int(m.steps),
             "Episode Safety Cost": float(m.safety_cost),
             "Episode Number of Safety Violations": float(m.num_violations),
-            "Cumulated Number of steps": int(total_steps),
+            "Cumulated Number of steps": total_steps_host,
         }
         if cfg.env.name == "cars":
             wb["Episode Number of reaching destination"] = float(m.reached)
