@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from nlbac_tpu.agent import create_train_state
 from nlbac_tpu.config import NLBACConfig, get_config
-from nlbac_tpu.train.checkpoint import (AsyncCheckpointer,
+from nlbac_tpu.train.checkpoint import (AsyncCheckpointer, _to_host,
                                         save_model_weights)
 from nlbac_tpu.train.driver import create_replays, make_episode_runner
 from nlbac_tpu.train.logging import (EpochLogger, MetricsSink, StepTimer,
@@ -219,7 +219,6 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # int() reads below would otherwise each pay a tunnel round trip
         # (~60ms x ~15 scalars x episode count added ~190s to a 200-
         # episode run — measured; same pathology as checkpoint._to_host)
-        from nlbac_tpu.train.checkpoint import _to_host
         m = _to_host(m)
         total_steps_host = int(_to_host(total_steps))
 
