@@ -74,23 +74,23 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
     op_margin = ccfg.operator_margin * env.OPERATOR_DIST
     dy = ccfg.box_delta_y
 
-    def families(s):
-        pos = s[:, :2]
-        d2 = jnp.sum(jnp.square(pos[:, None, :] - env.HAZARDS[None, :, :]),
-                     axis=2)
-        h_obs = 0.5 * (d2 - collision_radius ** 2)  # (B, 5)
-        h_op1 = (s[:, 0] - s[:, 6] + op_margin)[:, None]
-        h_op2 = (s[:, 6] - s[:, 0] + op_margin)[:, None]
-        h_ymax = (-s[:, 1] + env.Y_MAX - dy)[:, None]
-        h_ymin = (s[:, 1] - env.Y_MIN - dy)[:, None]
-        return h_obs, h_op1, h_op2, h_ymax, h_ymin
-
-    fams = [families(s) for s in states]  # 4 horizons x 5 families
-    cbf_cols = [
-        _hocbf3([fams[k][fam] for k in range(4)], ccfg.gamma_b)
-        for fam in range(5)
-    ]
-    cbf = jnp.concatenate(cbf_cols, axis=1)  # (B, 9)
+    # One batched h-family pass over all 4 horizon states (4, B, 7)
+    # instead of 4 per-state passes: the episode program is latency-bound
+    # on op count (CLAUDE.md), and the per-element arithmetic — hence the
+    # output bits — is unchanged. Column order matches the reference's
+    # [5 obstacle, op1, op2, ymax, ymin] (PVTOL/sac_cbf_clf/sac_cbf_clf.py
+    # :556-685).
+    s_all = jnp.stack(states)  # (4, B, 7)
+    pos = s_all[..., :2]
+    d2 = jnp.sum(jnp.square(pos[:, :, None, :]
+                            - env.HAZARDS[None, None, :, :]), axis=3)
+    h_obs = 0.5 * (d2 - collision_radius ** 2)  # (4, B, 5)
+    h_op1 = (s_all[..., 0] - s_all[..., 6] + op_margin)[..., None]
+    h_op2 = (s_all[..., 6] - s_all[..., 0] + op_margin)[..., None]
+    h_ymax = (-s_all[..., 1] + env.Y_MAX - dy)[..., None]
+    h_ymin = (s_all[..., 1] - env.Y_MIN - dy)[..., None]
+    h = jnp.concatenate([h_obs, h_op1, h_op2, h_ymax, h_ymin], axis=2)
+    cbf = _hocbf3([h[0], h[1], h[2], h[3]], ccfg.gamma_b)  # (B, 9)
 
     if not include_clf:
         return cbf
