@@ -13,7 +13,11 @@ vs_baseline: the same per-step workload implemented with torch (CPU),
 structurally identical to the reference's update
 (UNI/sac_cbf_clf/sac_cbf_clf.py:181-319): the reference itself hardcodes
 CUDA (model.py:11) and publishes no throughput numbers (BASELINE.md), so
-a torch-CPU replica is the only baseline runnable in this image.
+a torch-CPU replica is the only baseline runnable in this image. The
+live replica measurement is host-load sensitive (observed 4.2-12.2
+steps/s across runs), so the ratio divides by max(live, recorded-best
+12.23 from BASELINE.md) — the CONSERVATIVE (smallest defensible)
+speedup; both numbers are reported in extra.
 
 extra carries the secondary metrics (VERDICT r1 item 5):
 - cars / pvtol steps/sec (pvtol's 3-step rel-degree-3 HOCBF chain is the
@@ -193,9 +197,14 @@ def main():
         extra[f"{preset}_steps_per_sec"] = round(
             bench_preset(preset, episodes=4, steps=steps), 2)
 
-    # best of two: the torch-CPU measurement is sensitive to host load
-    base_sps = max(bench_torch_baseline(), bench_torch_baseline())
-    extra["torch_cpu_baseline_steps_per_sec"] = round(base_sps, 2)
+    # best of two: the torch-CPU measurement is sensitive to host load.
+    # The ratio uses the recorded best (BASELINE.md) as a floor so
+    # vs_baseline is the conservative speedup, stable across rounds.
+    RECORDED_BASELINE = 12.23  # BASELINE.md measured row, best ever seen
+    live = max(bench_torch_baseline(), bench_torch_baseline())
+    base_sps = max(live, RECORDED_BASELINE)
+    extra["torch_cpu_baseline_steps_per_sec_live"] = round(live, 2)
+    extra["torch_cpu_baseline_steps_per_sec_recorded"] = RECORDED_BASELINE
     print(json.dumps({
         "metric": "unicycle_train_env_steps_per_sec",
         "value": round(uni_sps, 2),
