@@ -61,7 +61,14 @@ def bench_preset(preset: str, episodes: int, steps: int,
         sac=dataclasses.replace(cfg.sac, **sac_kw))
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     rl, node = create_replays(cfg)
-    run = jax.jit(make_episode_runner(cfg))
+    # AOT lowering cache (train/aot.py): through the tunneled backend the
+    # jaxpr->MLIR lowering alone swings 5-300s per program; reusing the
+    # serialized module keeps the bench's startup (4 programs) bounded.
+    # Fail-open to plain jit on any cache machinery error.
+    from nlbac_tpu.train.aot import cached_episode_runner
+    example = (ts, rl, node, jax.random.PRNGKey(0), jnp.int32(0),
+               jnp.int32(0))
+    run = cached_episode_runner(cfg, example)
 
     total = jnp.int32(0)
     # episode 0: compile + warmup (excluded from timing)
@@ -194,8 +201,13 @@ def main():
         if _elapsed() > SOFT_BUDGET_S:
             extra[f"{preset}_steps_per_sec"] = "skipped (time budget)"
             continue
-        extra[f"{preset}_steps_per_sec"] = round(
-            bench_preset(preset, episodes=4, steps=steps), 2)
+        # contain per-preset failures (the tunneled backend occasionally
+        # stalls/errors; a secondary preset must not kill the artifact)
+        try:
+            extra[f"{preset}_steps_per_sec"] = round(
+                bench_preset(preset, episodes=4, steps=steps), 2)
+        except Exception as e:  # noqa: BLE001
+            extra[f"{preset}_steps_per_sec"] = f"error: {type(e).__name__}"
 
     # best of two: the torch-CPU measurement is sensitive to host load.
     # The ratio uses the recorded best (BASELINE.md) as a floor so

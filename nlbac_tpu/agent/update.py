@@ -57,6 +57,7 @@ class Agent(NamedTuple):
     cfg: NLBACConfig
     select_action: Callable
     update: Callable
+    update_presampled: Callable
     update_from_batch: Callable
     node_fit: Callable
 
@@ -161,6 +162,20 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         node_thunk = lambda: replay_lib.sample(node_replay, keys[1],
                                                ncfg.max_batch)
         return _update_core(ts, batch, node_thunk, keys[2], i_episode)
+
+    def update_presampled(ts: TrainState, batch, node_replay, node_key,
+                          core_key, i_episode
+                          ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Update over a pre-gathered RL batch while keeping the NODE
+        sample lazy (traced into the gated fit branch).  Used by the
+        driver's fused multi-update gather: it draws both updates' RL
+        rows in ONE gather per step, then feeds each update its slice.
+        ``node_key``/``core_key`` must be the same splits ``update``
+        would have made so the RNG stream (and hence the math) is
+        bit-identical."""
+        node_thunk = lambda: replay_lib.sample(node_replay, node_key,
+                                               ncfg.max_batch)
+        return _update_core(ts, batch, node_thunk, core_key, i_episode)
 
     def update_from_batch(ts: TrainState, batch, node_batch, key, i_episode
                           ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -404,4 +419,5 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         return new_ts, metrics
 
     return Agent(cfg=cfg, select_action=select_action, update=update,
+                 update_presampled=update_presampled,
                  update_from_batch=update_from_batch, node_fit=node_fit)

@@ -4,4 +4,5 @@ from nlbac_tpu.replay.buffer import (  # noqa: F401
     push,
     record_from_step,
     sample,
+    unpack_rows,
 )

@@ -121,6 +121,13 @@ def _pack(layout, record: dict) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
+def unpack_rows(layout, rows: jnp.ndarray) -> dict:
+    """Unpack packed rows (..., record_width) into a field dict — the
+    public form of the sample() post-processing, for callers that gather
+    rows themselves (e.g. the driver's fused multi-update gather)."""
+    return _unpack(layout, rows)
+
+
 def _unpack(layout, rows: jnp.ndarray) -> dict:
     out = {}
     for name, off, w in layout:

@@ -99,3 +99,28 @@ def test_deterministic_given_key():
     l2 = jax.tree.leaves(out2[0].policy)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_rl_gather_bit_equal():
+    """The fused per-step RL gather (one 2B-row gather split across the
+    two unrolled updates) must be bit-identical to per-update gathers:
+    it draws the exact index splits agent.update would make, and the
+    buffer is not written between the unrolled updates.  Measured
+    noise-level on TPU (scripts/ab_fused_gather.py), kept default-off."""
+    cfg = tiny_config("unicycle", max_steps=30)
+    cfg = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac, updates_per_step=2))
+    runs = {f: jax.jit(make_episode_runner(cfg, fused_rl_gather=f))
+            for f in (False, True)}
+    outs = {}
+    for f, run in runs.items():
+        ts = create_train_state(cfg, jax.random.PRNGKey(0))
+        rl, node = create_replays(cfg)
+        for ep in range(2):  # episode 1 has updates (30 pushes > batch 8)
+            ts, rl, node, m, _ = run(ts, rl, node, jax.random.PRNGKey(ep),
+                                     jnp.int32(ep), jnp.int32(ep * 30))
+        outs[f] = (ts, m)
+    assert int(outs[True][1].updates_done) > 0
+    for a, b in zip(jax.tree.leaves(outs[False][0]),
+                    jax.tree.leaves(outs[True][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
