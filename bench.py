@@ -76,15 +76,20 @@ def bench_preset(preset: str, episodes: int, steps: int,
                                  jnp.int32(0), total)
     m.reward.block_until_ready()
 
-    t0 = time.perf_counter()
-    n_steps = 0
+    # MEDIAN of per-episode rates, not total-steps/total-time: the
+    # tunneled backend's round-trip cost occasionally stalls a single
+    # dispatch for seconds (CLAUDE.md "tunnel flakiness"; an interleaved
+    # A/B in the same window measured episode rates of [109, 1755, ...,
+    # 2218] steps/s for the SAME program) — one stalled episode must not
+    # wreck the artifact the way it wrecks a pooled mean.
+    rates = []
     for ep in range(1, episodes):
+        t0 = time.perf_counter()
         ts, rl, node, m, total = run(ts, rl, node, jax.random.PRNGKey(ep),
                                      jnp.int32(ep), total)
         m.reward.block_until_ready()
-        n_steps += int(m.steps)
-    dt = time.perf_counter() - t0
-    return n_steps / dt
+        rates.append(int(m.steps) / (time.perf_counter() - t0))
+    return sorted(rates)[len(rates) // 2]
 
 
 def bench_torch_baseline(n_steps: int = 12) -> float:
@@ -182,7 +187,8 @@ def main():
     enable_compilation_cache()
     fast = "--fast" in sys.argv
 
-    uni_sps = bench_preset("unicycle", episodes=4, steps=400)
+    # 5 timed episodes for the headline metric (better median support)
+    uni_sps = bench_preset("unicycle", episodes=6, steps=400)
     # phase split: same program minus the gradient updates
     noupd_sps = bench_preset("unicycle", episodes=4, steps=400,
                              updates_per_step=0)

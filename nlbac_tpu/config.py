@@ -118,6 +118,11 @@ class EnvConfig:
     barrier_signals: bool = False
     barrier_b: float = 0.0  # little_b
     barrier_B: float = -20.0  # capital_b (-0.1 for PVTOL)
+    # Opt-in reverse spawn curriculum (envs exposing reset_curriculum;
+    # currently quadrotor only): anneal the spawn from near-goal back to
+    # the standard start over this many episodes. 0 = off (standard
+    # reset; every preset default). See envs/quadrotor.py.
+    spawn_curriculum_episodes: int = 0
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from nlbac_tpu.envs.base import EnvSpec, StepOut
@@ -88,6 +89,51 @@ def reset(key, max_episode_steps: int = SPEC.max_episode_steps
           ) -> Tuple[QuadrotorState, jnp.ndarray]:
     del key
     st = QuadrotorState(x=INIT_STATE, step=jnp.int32(0))
+    return st, get_obs(st.x)
+
+
+# Reverse spawn curriculum: spawn just outside the goal ring early and
+# anneal the spawn point back to INIT_STATE over ``curriculum_episodes``.
+# Floor on the goal->spawn fraction so episode 0 does not spawn INSIDE
+# the goal ring (|INIT_pos - GOAL| ~ 2.06, so 0.15 * 2.06 ~ 0.31 > the
+# 0.2 goal radius) and the agent must actually fly to collect the +250.
+CURRICULUM_ALPHA_MIN = 0.15
+CURRICULUM_JITTER = 0.05
+
+
+def reset_curriculum(key, i_episode, curriculum_episodes: int,
+                     max_episode_steps: int = SPEC.max_episode_steps
+                     ) -> Tuple[QuadrotorState, jnp.ndarray]:
+    """Curriculum reset (opt-in via EnvConfig.spawn_curriculum_episodes).
+
+    The take-off failure mode this targets (PARITY.md "Quadrotor"): most
+    seeds never reach the goal ring from the ground start, so the +250
+    goal reward is never observed and the policy settles into a hover/
+    crash local optimum; warmup-, budget- and CLF-weighting levers were
+    all measured negative. Spawning near the goal early guarantees goal
+    encounters from episode 0, then the spawn anneals smoothly back to
+    the standard INIT_STATE — for ``i_episode >= curriculum_episodes``
+    this is bit-identical to ``reset`` (alpha clips to 1, jitter scales
+    to 0). No reference analog (the quadrotor submodule is empty);
+    default-off so the shipped preset's measured behavior is unchanged.
+    """
+    alpha = jnp.clip(i_episode.astype(jnp.float32)
+                     / jnp.float32(curriculum_episodes),
+                     CURRICULUM_ALPHA_MIN, 1.0)
+    init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
+    pos = GOAL + alpha * (init_pos - GOAL)
+    # The straight goal->init segment passes through the OBSTACLE at
+    # (0, 0.75) (it is almost exactly the midpoint), so arc the spawn
+    # path over it: a vertical clearance bump peaking mid-path (z+0.45 at
+    # alpha=0.5, well above the 0.95 obstacle top, inside Z_RANGE) that
+    # vanishes at both ends — alpha=1 stays bit-identical to INIT_STATE.
+    pos = pos.at[1].add(0.45 * 4.0 * alpha * (1.0 - alpha))
+    jitter = (1.0 - alpha) * jax.random.uniform(
+        key, (2,), minval=-CURRICULUM_JITTER, maxval=CURRICULUM_JITTER)
+    pos = pos + jitter
+    x = jnp.stack([pos[0], jnp.float32(0.0), pos[1], jnp.float32(0.0),
+                   jnp.float32(0.0), jnp.float32(0.0)])
+    st = QuadrotorState(x=x, step=jnp.int32(0))
     return st, get_obs(st.x)
 
 

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     # episodes / env
     p.add_argument("--max_episodes", type=int, default=None)
     p.add_argument("--max_episode_steps", type=int, default=None)
+    p.add_argument("--spawn_curriculum_episodes", type=int, default=None,
+                   help="opt-in reverse spawn curriculum (quadrotor): "
+                        "anneal the spawn from near-goal back to the "
+                        "standard start over this many episodes (0=off)")
     # constraints
     p.add_argument("--gamma_b", type=float, default=None)
     p.add_argument("--gamma_l", type=float, default=None)
@@ -125,7 +129,8 @@ def config_from_args(args) -> NLBACConfig:
                 start_steps=args.start_steps,
                 target_update_interval=args.target_update_interval,
                 automatic_entropy_tuning=args.automatic_entropy_tuning),
-        env=rep(cfg.env, max_episode_steps=args.max_episode_steps),
+        env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
+                spawn_curriculum_episodes=args.spawn_curriculum_episodes),
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,
                        lambda_update_interval=(

@@ -93,10 +93,18 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     max_steps = cfg.env.max_episode_steps
     barrier_B = cfg.env.barrier_B if cfg.env.barrier_signals else 0.0
 
+    curriculum_eps = getattr(cfg.env, "spawn_curriculum_episodes", 0)
+    use_curriculum = curriculum_eps > 0 and hasattr(env, "reset_curriculum")
+
     def run_episode(ts, rl_replay, node_replay, key, i_episode,
                     total_steps):
         key, krst = jax.random.split(key)
-        env_state, obs0 = env.reset(krst, max_episode_steps=max_steps)
+        if use_curriculum:
+            env_state, obs0 = env.reset_curriculum(
+                krst, i_episode, curriculum_eps,
+                max_episode_steps=max_steps)
+        else:
+            env_state, obs0 = env.reset(krst, max_episode_steps=max_steps)
         start_backup = i_episode >= cfg.supervisor.enable_after_episodes
 
         init_metrics = EpisodeMetrics(
