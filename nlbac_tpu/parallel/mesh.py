@@ -122,7 +122,8 @@ def make_seed_parallel_runner(cfg: NLBACConfig, mesh: Mesh,
     return init_fn, run_fn
 
 
-def make_async_seed_runner(cfg: NLBACConfig, devices=None):
+def make_async_seed_runner(cfg: NLBACConfig, devices=None,
+                           n_seeds: Optional[int] = None):
     """Fast seed-parallel training: one independent training state PER
     DEVICE, advanced by async dispatch of the PLAIN (unbatched) episode
     program — each chip runs at full single-chip speed.
@@ -134,16 +135,26 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None):
     with manual layouts measured far worse. Async dispatch costs only
     ~ms per call and the episodes overlap across devices.
 
+    ``n_seeds`` defaults to one per device; more seeds than devices are
+    laid out round-robin (they time-share chips but stay independent —
+    the single-chip degenerate mode is how ``--n_seeds`` works in this
+    image's 1-chip environment).
+
     Returns (states, step_fn): ``states`` is a list of per-device
     (ts, rl, node, key, total) tuples; ``step_fn(states, i_episode)``
     advances every seed one episode and returns (states, metrics_list).
+    Seed ``i`` uses PRNG seed ``base_seed + i`` with exactly the key
+    stream of a single-seed ``train.cli.train`` run, so each row is
+    bit-reproducible as a standalone run.
     """
     devices = devices if devices is not None else jax.devices()
+    n_seeds = len(devices) if n_seeds is None else n_seeds
     run = jax.jit(make_episode_runner(cfg))
 
     def init_fn(base_seed: int):
         states = []
-        for i, dev in enumerate(devices):
+        for i in range(n_seeds):
+            dev = devices[i % len(devices)]
             key = jax.random.PRNGKey(base_seed + i)
             key, kinit = jax.random.split(key)
             ts = create_train_state(cfg, kinit)

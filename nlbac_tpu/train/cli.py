@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference-style env name (maps onto a preset; "
                         "--preset is the native way)")
     p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--n_seeds", type=int, default=1,
+                   help="train N independent seeds (seed..seed+N-1) "
+                        "concurrently, one per device round-robin — the "
+                        "seed-parallel successor to the reference's dead "
+                        "mpi_fork (async dispatch; see parallel/mesh.py). "
+                        "Per-seed output lands in <output>/s<seed>/")
     p.add_argument("--output", default="output")
     p.add_argument("--mode", default="train", choices=["train", "eval"])
     p.add_argument("--policy", default=None,
@@ -297,6 +303,78 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     return ts, rl_replay, node_replay
 
 
+def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
+                     output_root: str | None, quiet: bool = False):
+    """Seed-parallel training (``--n_seeds``): N independent seeds advance
+    concurrently by async dispatch of the plain episode program, laid out
+    one-per-device round-robin (parallel/mesh.py, the measured fast path)
+    — the usable successor to the reference's vendored-but-dead
+    ``mpi_fork`` (UNI/utils/mpi_tools.py:6-36).
+
+    Seed i trains with ``cfg.run.seed + i`` under exactly the key stream
+    of a single-seed :func:`train` run, and writes its own
+    ``progress.txt`` + reference-layout weight files under
+    ``<output_root>/s<seed>/`` (the per-seed output convention of the
+    reference's setup_logger_kwargs, UNI/utils/run_utils.py:25-86).  A
+    per-episode aggregate row (mean/std/min/max reward across seeds, via
+    ``statistics_scalar`` — the mpi_statistics_scalar equivalent) prints
+    to stdout.  Full-state checkpoint/resume and wandb remain single-seed
+    (:func:`train`) features."""
+    from nlbac_tpu.parallel import make_async_seed_runner, statistics_scalar
+
+    seeds = [cfg.run.seed + i for i in range(n_seeds)]
+    loggers = []
+    for s in seeds:
+        d = (os.path.join(output_root, f"s{s}")
+             if output_root is not None else None)
+        loggers.append(EpochLogger(d, quiet=True))
+        loggers[-1].save_config(dataclasses.replace(
+            cfg, run=dataclasses.replace(cfg.run, seed=s)))
+
+    timer = StepTimer()
+    with timer.time("init"):
+        init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=n_seeds)
+        states = init_fn(cfg.run.seed)
+
+    save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
+    is_nbc = cfg.constraint.kind == "learned_barrier"
+    for i_episode in range(cfg.run.max_episodes):
+        phase = "episode_first" if i_episode == 0 else "episode"
+        with timer.time(phase):
+            states, metrics = step_fn(states, i_episode)
+        metrics = _to_host(metrics)  # ONE pipelined D2H for all seeds
+
+        rewards = [float(m.reward) for m in metrics]
+        for s, lg, m in zip(seeds, loggers, metrics):
+            lg.store(Episode=i_episode, episode_steps=int(m.steps),
+                     reward_train=float(m.reward),
+                     cost_train=float(m.num_violations),
+                     safety_cost_train=float(m.safety_cost),
+                     goal_met=float(m.goal_met),
+                     reached=float(m.reached))
+            for k in ("Episode", "episode_steps", "reward_train",
+                      "cost_train", "safety_cost_train", "goal_met",
+                      "reached"):
+                lg.log_tabular(k)
+            lg.dump_tabular()
+        if not quiet:
+            mean, std, lo, hi = (float(x) for x in statistics_scalar(
+                jnp.asarray(rewards), with_min_and_max=True))
+            print(colorize(
+                f"ep {i_episode:4d}  reward over {n_seeds} seeds: "
+                f"{mean:9.2f} ± {std:7.2f}  [{lo:9.2f}, {hi:9.2f}]",
+                "white"))
+        if output_root is not None and (
+                i_episode % save_every == 0
+                or i_episode == cfg.run.max_episodes - 1):
+            for s, st in zip(seeds, states):
+                save_model_weights(os.path.join(output_root, f"s{s}"),
+                                   st[0], include_barrier=is_nbc)
+    for phase, total in timer.summary().items():
+        print(colorize(f"{phase}: {total}", "cyan"))
+    return states
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -314,6 +392,15 @@ def main(argv=None):
         run_policy(cfg, ts, episodes=5, seed=cfg.run.seed)
         return
     out = get_output_folder(args.output, cfg.env.name)
+    if args.n_seeds > 1:
+        print(colorize(
+            f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
+            f"backend={jax.default_backend()} seeds={cfg.run.seed}.."
+            f"{cfg.run.seed + args.n_seeds - 1} over "
+            f"{jax.device_count()} device(s) -> {out}", "green",
+            bold=True))
+        train_multi_seed(cfg, args.n_seeds, out, quiet=args.quiet)
+        return
     lk = setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed, data_dir=out)
     print(colorize(f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
                    f"backend={jax.default_backend()} -> {out}", "green",

@@ -61,6 +61,48 @@ def test_train_writes_all_artifacts(tmp_path):
     assert np.all(cols["episode_steps"] <= 12)
 
 
+def test_train_multi_seed(tmp_path):
+    """--n_seeds: per-seed progress/weights land under s<seed>/, and each
+    seed row reproduces a standalone single-seed train() run bit-for-bit
+    (same key stream by construction)."""
+    from nlbac_tpu.train.cli import train_multi_seed
+
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "12", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16", "--seed", "11",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out = str(tmp_path / "multi")
+    train_multi_seed(cfg, n_seeds=2, output_root=out, quiet=True)
+
+    from nlbac_tpu.utils.plot import load_progress
+    multi_rewards = {}
+    for s in (11, 12):
+        d = os.path.join(out, f"s{s}")
+        for f in ("progress.txt", "config.json", "actor.pkl"):
+            assert os.path.exists(os.path.join(d, f)), (s, f)
+        cols = load_progress(os.path.join(d, "progress.txt"))
+        assert len(cols["Episode"]) == 2
+        multi_rewards[s] = np.asarray(cols["reward_train"])
+
+    # bit-equivalence with a standalone run of seed 12
+    solo = str(tmp_path / "solo")
+    cfg12 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, seed=12))
+    train(cfg12, output_dir=solo, quiet=True)
+    solo_cols = load_progress(os.path.join(solo, "progress.txt"))
+    np.testing.assert_array_equal(multi_rewards[12],
+                                  np.asarray(solo_cols["reward_train"]))
+
+
 def test_train_resume_from_checkpoint(tmp_path):
     """--resume continues a run from the full-state checkpoint."""
     args = build_parser().parse_args([
