@@ -111,10 +111,19 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         k1, k2, k3 = jax.random.split(key, 3)
         obs_b = obs[None, :]
         a_pri, _, _ = sample_fn(ts.policy, obs_b, k1)
-        a_bak, _, _ = sample_fn(ts.backup_policy, obs_b, k2)
+        if ccfg.use_backup:
+            a_bak, _, _ = sample_fn(ts.backup_policy, obs_b, k2)
+            a = jnp.where(use_backup, a_bak, a_pri)
+        else:
+            # Variant has no backup controller (NBC presets: zero
+            # `backup` refs in NBC-UNI/sac_cbf_clf.py, SURVEY §2.2) —
+            # skip the per-step backup MLP apply instead of sampling an
+            # action the select below never picks.  k2 is still split
+            # off above so the RNG stream (hence every trajectory) is
+            # bit-identical to the previous program.
+            a = a_pri
         a_rand = jax.random.uniform(k3, (1, cfg.action_dim),
                                     minval=action_low, maxval=action_high)
-        a = jnp.where(use_backup, a_bak, a_pri)
         a = jnp.where(warmup, a_rand, a)
         return a[0]
 

@@ -63,6 +63,12 @@ def pre_action(cfg: SupervisorConfig, sup: SupervisorState, start
     """Called at action-selection time: returns the backup flag and bumps
     the backup timers exactly as the reference's selection branch does
     (UNI/main.py:77-79, PVTOL/main.py:79-89)."""
+    if cfg.kind == "none":
+        # No trigger machine (NBC variants, SURVEY §2.2 'Backup
+        # controller: none'): return a LITERAL False so the driver's
+        # backup-action select constant-folds and the per-step backup
+        # MLP apply is dead code to XLA.
+        return jnp.array(False), sup
     active = backup_active(sup, start)
     inc_obs = jnp.logical_and(active, sup.use_backup).astype(jnp.int32)
     inc_y = jnp.logical_and(active, sup.use_backup_y).astype(jnp.int32)

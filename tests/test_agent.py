@@ -169,6 +169,34 @@ def test_select_action_modes():
         assert np.all(np.asarray(a) <= high + 1e-5)
 
 
+def test_select_action_nbc_skips_dead_backup_sample():
+    """NBC variants have no backup controller (SURVEY §2.2): select_action
+    must return exactly the primary-policy sample (the backup MLP apply is
+    elided), with the RNG stream unchanged (k1 of the same 3-way split)."""
+    from nlbac_tpu.nn import ActionSpec, gaussian_policy_sample
+
+    cfg = tiny("nbc_unicycle")
+    assert not cfg.constraint.use_backup
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    agent = make_agent(cfg)
+    env = get_env("unicycle")
+    _, obs = env.reset(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    a = jax.jit(agent.select_action)(ts, obs, key, jnp.array(False),
+                                     jnp.array(False))
+    spec = ActionSpec.from_bounds(jnp.array(env.SPEC.action_low),
+                                  jnp.array(env.SPEC.action_high))
+    k1 = jax.random.split(key, 3)[0]
+    expect, _, _ = gaussian_policy_sample(ts.policy, obs[None, :], k1, spec)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(expect[0]))
+
+    # and the kind='none' supervisor hands the driver a LITERAL False
+    from nlbac_tpu.train.supervisor import init_supervisor, pre_action
+    flag, _ = pre_action(cfg.supervisor, init_supervisor(cfg.supervisor),
+                         jnp.array(True))
+    assert bool(flag) is False
+
+
 def test_node_fit_gating_interval():
     cfg = tiny("unicycle")  # update_interval=3
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
