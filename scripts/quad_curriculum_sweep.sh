@@ -8,7 +8,7 @@
 set -u
 cd "$(dirname "$0")/.."
 CURR=${1:-120}
-OUT=results/r3/quad_curriculum
+OUT=results/r3/quad_curriculum_c${CURR}
 mkdir -p "$OUT"
 for SEED in 1 2 3 7 12345; do
   echo "=== seed $SEED (curriculum $CURR) ==="
