@@ -123,6 +123,11 @@ class EnvConfig:
     # the standard start over this many episodes. 0 = off (standard
     # reset; every preset default). See envs/quadrotor.py.
     spawn_curriculum_episodes: int = 0
+    # Opt-in terminal crash penalty (envs whose step() accepts it;
+    # currently quadrotor only): subtract this from the reward on a
+    # kill-box termination. 0 = off (every preset default). Removes the
+    # dive-into-the-ground local optimum — see envs/quadrotor.py step().
+    kill_penalty: float = 0.0
 
 
 @dataclass(frozen=True)

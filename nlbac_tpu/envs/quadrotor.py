@@ -148,7 +148,8 @@ def dynamics(x, u):
 
 
 def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
-         max_episode_steps: int = SPEC.max_episode_steps
+         max_episode_steps: int = SPEC.max_episode_steps,
+         kill_penalty: float = 0.0
          ) -> Tuple[QuadrotorState, StepOut]:
     del barrier_B  # this env defines its own two-level barrier signals
     f32 = jnp.float32
@@ -166,6 +167,17 @@ def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
     killed = jnp.logical_or(
         jnp.abs(x_new[0]) > KILL_X,
         jnp.logical_or(x_new[2] < KILL_Z[0], x_new[2] > KILL_Z[1]))
+    # Opt-in crash penalty (EnvConfig.kill_penalty, default 0 = off).
+    # Without it, diving into the kill box is a strong local optimum:
+    # the reward is -dist every step, so a 34-step crash (total ~ -65)
+    # strictly beats hovering (~ -190 discounted at gamma=0.99), and only
+    # goal discovery (+250) beats crashing.  4/6 seeds learn exactly this
+    # suicide policy (PARITY.md "Quadrotor": every episode terminates at
+    # 34 steps in the ground kill box).  Penalizing the kill transition
+    # by >= ~135 reorders crash below hover so the -dist gradient toward
+    # the goal can act.  Mirror of the +250 goal bonus; no reference
+    # analog (the quadrotor submodule is empty).
+    reward = reward - jnp.where(killed, jnp.float32(kill_penalty), 0.0)
     done = jnp.logical_or(jnp.logical_or(goal_met, killed),
                           step_count >= max_episode_steps)
 

@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in reverse spawn curriculum (quadrotor): "
                         "anneal the spawn from near-goal back to the "
                         "standard start over this many episodes (0=off)")
+    p.add_argument("--kill_penalty", type=float, default=None,
+                   help="opt-in terminal crash penalty (quadrotor): "
+                        "subtract this from the reward on a kill-box "
+                        "termination (0=off)")
     # constraints
     p.add_argument("--gamma_b", type=float, default=None)
     p.add_argument("--gamma_l", type=float, default=None)
@@ -136,7 +140,8 @@ def config_from_args(args) -> NLBACConfig:
                 target_update_interval=args.target_update_interval,
                 automatic_entropy_tuning=args.automatic_entropy_tuning),
         env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
-                spawn_curriculum_episodes=args.spawn_curriculum_episodes),
+                spawn_curriculum_episodes=args.spawn_curriculum_episodes,
+                kill_penalty=args.kill_penalty),
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,
                        lambda_update_interval=(

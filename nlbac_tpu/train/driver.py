@@ -96,6 +96,14 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     curriculum_eps = getattr(cfg.env, "spawn_curriculum_episodes", 0)
     use_curriculum = curriculum_eps > 0 and hasattr(env, "reset_curriculum")
 
+    # Opt-in extra step kwargs (static, baked into the compiled program).
+    # Only passed when set, so envs whose step() lacks the kwarg are
+    # untouched and the default program is byte-identical to before.
+    step_kwargs = {}
+    kill_penalty = getattr(cfg.env, "kill_penalty", 0.0)
+    if kill_penalty:
+        step_kwargs["kill_penalty"] = kill_penalty
+
     def run_episode(ts, rl_replay, node_replay, key, i_episode,
                     total_steps):
         key, krst = jax.random.split(key)
@@ -185,7 +193,8 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
             # --- 3. env step --------------------------------------------
             env_state, out = env.step(c.env_state, action,
                                       barrier_B=barrier_B,
-                                      max_episode_steps=max_steps)
+                                      max_episode_steps=max_steps,
+                                      **step_kwargs)
             episode_steps = c.episode_steps + 1
             total_steps = c.total_steps + 1
 
