@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -216,9 +217,17 @@ def main():
             extra[f"{preset}_steps_per_sec"] = f"error: {type(e).__name__}"
 
     # best of two: the torch-CPU measurement is sensitive to host load.
-    # The ratio uses the recorded best (BASELINE.md) as a floor so
-    # vs_baseline is the conservative speedup, stable across rounds.
-    RECORDED_BASELINE = 12.23  # BASELINE.md measured row, best ever seen
+    # The ratio uses the recorded best as a floor so vs_baseline is the
+    # conservative speedup, stable across rounds. Single source of truth
+    # is BASELINE.json's measured block (mirrored in BASELINE.md); the
+    # literal here is only the fallback for a missing/old BASELINE.json.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            RECORDED_BASELINE = float(
+                json.load(f)["measured"]["torch_cpu_unicycle_steps_per_sec"])
+    except Exception:  # noqa: BLE001
+        RECORDED_BASELINE = 12.23
     live = max(bench_torch_baseline(), bench_torch_baseline())
     base_sps = max(live, RECORDED_BASELINE)
     extra["torch_cpu_baseline_steps_per_sec_live"] = round(live, 2)

@@ -149,7 +149,20 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
     """
     devices = devices if devices is not None else jax.devices()
     n_seeds = len(devices) if n_seeds is None else n_seeds
-    run = jax.jit(make_episode_runner(cfg))
+    # Built lazily on the first step so the AOT lowering cache
+    # (train/aot.py) can key off real example avals: on the axon backend
+    # the jaxpr->MLIR lowering of the episode program swings 5-300s per
+    # process, which the serialized-module cache reduces to ~0.03s — the
+    # same win single-seed train() and bench.py already get.
+    run_box: list = []
+
+    def _get_run(st):
+        if not run_box:
+            from nlbac_tpu.train.aot import cached_episode_runner
+
+            example = (st[0], st[1], st[2], st[3], jnp.int32(0), st[4])
+            run_box.append(cached_episode_runner(cfg, example))
+        return run_box[0]
 
     def init_fn(base_seed: int):
         states = []
@@ -168,6 +181,7 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
 
     def step_fn(states, i_episode):
         metrics = []
+        run = _get_run(states[0])
         # dispatch all devices first (async), then collect
         for st in states:
             ts, rl, node, key, total = st

@@ -16,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nlbac_tpu.agent import create_train_state
 from nlbac_tpu.config import NLBACConfig, get_config
@@ -321,11 +322,12 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
     ``progress.txt`` + reference-layout weight files under
     ``<output_root>/s<seed>/`` (the per-seed output convention of the
     reference's setup_logger_kwargs, UNI/utils/run_utils.py:25-86).  A
-    per-episode aggregate row (mean/std/min/max reward across seeds, via
-    ``statistics_scalar`` — the mpi_statistics_scalar equivalent) prints
-    to stdout.  Full-state checkpoint/resume and wandb remain single-seed
-    (:func:`train`) features."""
-    from nlbac_tpu.parallel import make_async_seed_runner, statistics_scalar
+    per-episode aggregate row (mean/std/min/max reward across seeds,
+    host-side numpy with the mpi_statistics_scalar ddof=0 convention)
+    prints to stdout.  Full-state checkpoint/resume and wandb remain
+    single-seed (:func:`train`) features — ``main()`` rejects the
+    combination loudly."""
+    from nlbac_tpu.parallel import make_async_seed_runner
 
     seeds = [cfg.run.seed + i for i in range(n_seeds)]
     loggers = []
@@ -343,6 +345,19 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
 
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
     is_nbc = cfg.constraint.kind == "learned_barrier"
+    try:
+        _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
+                         step_fn, states, save_every, is_nbc, timer)
+    finally:
+        for lg in loggers:
+            lg.close()
+    for phase, total in timer.summary().items():
+        print(colorize(f"{phase}: {total}", "cyan"))
+    return states
+
+
+def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
+                     step_fn, states, save_every, is_nbc, timer):
     for i_episode in range(cfg.run.max_episodes):
         phase = "episode_first" if i_episode == 0 else "episode"
         with timer.time(phase):
@@ -363,8 +378,16 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
                 lg.log_tabular(k)
             lg.dump_tabular()
         if not quiet:
-            mean, std, lo, hi = (float(x) for x in statistics_scalar(
-                jnp.asarray(rewards), with_min_and_max=True))
+            # Host-side stats over n_seeds floats already fetched by the
+            # pipelined _to_host above: statistics_scalar is jnp-based
+            # and would pay one H2D + 4 synchronous tunnel round trips
+            # PER EPISODE (60ms-7s each in bad windows — the exact
+            # per-episode sync-read pathology CLAUDE.md bans). Same
+            # population-std convention (ddof=0) as statistics_scalar /
+            # the reference's mpi_statistics_scalar.
+            r = np.asarray(rewards)
+            mean, std = float(r.mean()), float(r.std())
+            lo, hi = float(r.min()), float(r.max())
             print(colorize(
                 f"ep {i_episode:4d}  reward over {n_seeds} seeds: "
                 f"{mean:9.2f} ± {std:7.2f}  [{lo:9.2f}, {hi:9.2f}]",
@@ -375,9 +398,6 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
             for s, st in zip(seeds, states):
                 save_model_weights(os.path.join(output_root, f"s{s}"),
                                    st[0], include_barrier=is_nbc)
-    for phase, total in timer.summary().items():
-        print(colorize(f"{phase}: {total}", "cyan"))
-    return states
 
 
 def main(argv=None):
@@ -398,6 +418,17 @@ def main(argv=None):
         return
     out = get_output_folder(args.output, cfg.env.name)
     if args.n_seeds > 1:
+        # Loud failure beats silent loss: multi-seed has no checkpoint/
+        # resume/profile/wandb path, and silently restarting from scratch
+        # under --resume would overwrite per-seed weights in place.
+        for flag in ("resume", "checkpoint", "profile_dir"):
+            if getattr(args, flag, None):
+                raise SystemExit(
+                    f"--{flag} is a single-seed feature; it is not "
+                    f"supported with --n_seeds > 1")
+        if args.wandb:
+            raise SystemExit("--wandb is a single-seed feature; it is "
+                             "not supported with --n_seeds > 1")
         print(colorize(
             f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
             f"backend={jax.default_backend()} seeds={cfg.run.seed}.."

@@ -94,7 +94,13 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     barrier_B = cfg.env.barrier_B if cfg.env.barrier_signals else 0.0
 
     curriculum_eps = getattr(cfg.env, "spawn_curriculum_episodes", 0)
-    use_curriculum = curriculum_eps > 0 and hasattr(env, "reset_curriculum")
+    use_curriculum = curriculum_eps > 0
+    if use_curriculum and not hasattr(env, "reset_curriculum"):
+        # Fail loudly: silently falling back to the standard reset would
+        # make a mis-targeted curriculum sweep report baseline numbers.
+        raise ValueError(
+            f"spawn_curriculum_episodes={curriculum_eps} but env "
+            f"{cfg.env.name!r} has no reset_curriculum (quadrotor only)")
 
     # Opt-in extra step kwargs (static, baked into the compiled program).
     # Only passed when set, so envs whose step() lacks the kwarg are
@@ -102,7 +108,24 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     step_kwargs = {}
     kill_penalty = getattr(cfg.env, "kill_penalty", 0.0)
     if kill_penalty:
+        import inspect
+
+        if "kill_penalty" not in inspect.signature(env.step).parameters:
+            raise ValueError(
+                f"kill_penalty={kill_penalty} but env {cfg.env.name!r} "
+                f"step() does not accept it (quadrotor only)")
         step_kwargs["kill_penalty"] = kill_penalty
+
+    if cfg.supervisor.kind != "none" and not ccfg.use_backup:
+        # The supervisor would raise use_backup=True at runtime but
+        # select_action statically elides the backup-policy sample when
+        # the variant trains no backup controller — the 'engaged' backup
+        # would silently never act. No preset mixes these (NBC presets
+        # pair use_backup=False with kind='none').
+        raise ValueError(
+            f"supervisor.kind={cfg.supervisor.kind!r} requires "
+            f"constraint.use_backup=True (got False): the backup "
+            f"controller it would engage is never trained or sampled")
 
     def run_episode(ts, rl_replay, node_replay, key, i_episode,
                     total_steps):

@@ -224,3 +224,17 @@ def test_evaluator_display_mode_headless(tmp_path):
         warnings.simplefilter("ignore")
         results = run_policy(cfg, ts, episodes=1, seed=0, display=True)
     assert len(results) == 1
+
+
+def test_n_seeds_rejects_single_seed_flags():
+    """--n_seeds > 1 with --resume/--checkpoint/--profile_dir/--wandb
+    fails loudly instead of silently dropping the flag (silently
+    restarting under --resume would overwrite per-seed weights)."""
+    import pytest
+
+    from nlbac_tpu.train.cli import main
+
+    for extra in (["--resume", "x.npz"], ["--checkpoint", "x.npz"],
+                  ["--profile_dir", "/tmp/p"], ["--wandb"]):
+        with pytest.raises(SystemExit):
+            main(["--preset", "unicycle", "--n_seeds", "2"] + extra)

@@ -236,30 +236,67 @@ def test_kill_penalty_applies_only_on_kill():
 
 
 def test_kill_penalty_driver_wiring():
-    """EnvConfig.kill_penalty>0 reaches the compiled episode program (a
-    forced-dive episode's return drops by the penalty)."""
+    """EnvConfig.kill_penalty>0 reaches the compiled episode program: a
+    forced-dive episode (spawn falling at vz=-4 just above the kill box —
+    unrecoverable at +/-30%-hover thrust authority) returns exactly
+    kill_penalty less than the same episode with the penalty off.
+    Trajectories are bit-identical (same params/PRNG, no updates), so the
+    return difference isolates the killed-branch term."""
     import dataclasses as dc
+    from types import SimpleNamespace
+
+    def dive_reset(key, max_episode_steps=quad.SPEC.max_episode_steps):
+        del key
+        x = jnp.array([-1.0, 0.0, 0.3, -4.0, 0.0, 0.0], jnp.float32)
+        return quad.QuadrotorState(x=x, step=jnp.int32(0)), quad.get_obs(x)
+
+    dive_env = SimpleNamespace(
+        SPEC=quad.SPEC, reset=dive_reset, step=quad.step,
+        obs_to_state=quad.obs_to_state, state_to_obs=quad.state_to_obs)
 
     base = get_config("quadrotor")
     base = dc.replace(
         base,
-        env=dc.replace(base.env, max_episode_steps=5),
+        env=dc.replace(base.env, max_episode_steps=30),
         sac=dc.replace(base.sac, hidden_dim=8, batch_size=4,
                        updates_per_step=0, start_steps=0),
         node=dc.replace(base.node, hidden_dim=8, mlp_hidden_layers=1,
                         max_batch=8),
         replay=ReplayConfig(capacity=64, node_capacity=64),
     )
-    rewards = {}
+    results = {}
     for pen in (0.0, 123.0):
         cfg = dc.replace(base, env=dc.replace(base.env, kill_penalty=pen))
         ts = create_train_state(cfg, jax.random.PRNGKey(0))
         rl, node = create_replays(cfg)
-        run = jax.jit(make_episode_runner(cfg))
+        run = jax.jit(make_episode_runner(cfg, env_override=dive_env))
         _, _, _, m, _ = run(ts, rl, node, jax.random.PRNGKey(0),
                             jnp.int32(0), jnp.int32(0))
-        rewards[pen] = float(m.reward)
-    # 5 steps is not enough to crash from z=0.5, so equal unless the
-    # penalty path is wired; instead check the programs agree when no
-    # kill occurs (the kwarg only changes the killed branch).
-    assert rewards[0.0] == rewards[123.0]
+        results[pen] = (float(m.reward), int(m.steps))
+    # the dive hits the kill box well before the 30-step limit...
+    assert results[0.0][1] < 30
+    # ...on the same step in both programs...
+    assert results[0.0][1] == results[123.0][1]
+    # ...and the penalty is the only difference in the return
+    np.testing.assert_allclose(results[123.0][0], results[0.0][0] - 123.0,
+                               rtol=1e-5)
+
+
+def test_kill_penalty_rejected_for_envs_without_it():
+    """A non-quadrotor preset with kill_penalty set fails loudly at
+    runner-build time instead of a TypeError deep inside the jit trace
+    (and instead of silently ignoring the flag)."""
+    import dataclasses as dc
+
+    import pytest
+
+    cfg = get_config("unicycle")
+    cfg = dc.replace(cfg, env=dc.replace(cfg.env, kill_penalty=100.0))
+    with pytest.raises(ValueError, match="kill_penalty"):
+        make_episode_runner(cfg)
+
+    cfg = get_config("pvtol")
+    cfg = dc.replace(cfg,
+                     env=dc.replace(cfg.env, spawn_curriculum_episodes=50))
+    with pytest.raises(ValueError, match="reset_curriculum"):
+        make_episode_runner(cfg)
