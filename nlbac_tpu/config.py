@@ -68,6 +68,11 @@ class SacConfig:
     target_update_interval: int = 1
     updates_per_step: int = 2
     start_steps: int = 1000  # warmup random actions
+    # Store the twin Q-networks' weights stacked on a leading k=2 axis
+    # (one batched einsum per layer instead of two MLP applies).
+    # Numerically identical init; perf lever, default off pending an
+    # interleaved end-to-end A/B win (scripts/ab_stacked_q.py).
+    stacked_twin_q: bool = False
 
 
 @dataclass(frozen=True)

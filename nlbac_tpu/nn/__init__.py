@@ -20,6 +20,8 @@ from nlbac_tpu.nn.critics import (  # noqa: F401
     soft_update,
     twin_q_apply,
     twin_q_init,
+    twin_q_stack,
+    twin_q_unstack,
     value_apply,
     value_init,
 )

@@ -194,10 +194,14 @@ def save_model_weights(output_dir: str, ts, include_barrier: bool = False
                        ) -> None:
     """Weights-only checkpoint in the reference's file layout
     (actor/critic/lyapunov/node_model[/barrier] .pkl)."""
+    from nlbac_tpu.nn import twin_q_unstack
+
     os.makedirs(output_dir, exist_ok=True)
     files = {
         "actor.pkl": ts.policy,
-        "critic.pkl": ts.critic,
+        # always export the reference's {'q1','q2'} layout, independent
+        # of SacConfig.stacked_twin_q's in-memory layout
+        "critic.pkl": twin_q_unstack(ts.critic),
         "lyapunov.pkl": ts.lyap,
         "node_model.pkl": ts.node,
     }
@@ -211,11 +215,16 @@ def save_model_weights(output_dir: str, ts, include_barrier: bool = False
 def load_model_weights(output_dir: str, ts, include_barrier: bool = False):
     """Restore weights-only files into a TrainState (load_weights parity,
     UNI/sac_cbf_clf/sac_cbf_clf.py:342-362)."""
+    from nlbac_tpu.nn import twin_q_stack
+
     def _load(name):
         with open(os.path.join(output_dir, name), "rb") as f:
             return pickle.load(f)
 
-    ts = ts._replace(policy=_load("actor.pkl"), critic=_load("critic.pkl"),
+    critic = _load("critic.pkl")  # files are always {'q1','q2'} layout
+    if "q1" not in ts.critic:  # in-memory layout is stacked
+        critic = twin_q_stack(critic)
+    ts = ts._replace(policy=_load("actor.pkl"), critic=critic,
                      lyap=_load("lyapunov.pkl"),
                      node=_load("node_model.pkl"))
     if include_barrier and os.path.exists(

@@ -194,3 +194,63 @@ def test_node_field_bf16_compute_option():
     np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
                                atol=0.1, rtol=0.1)
     assert not np.array_equal(np.asarray(bf16), np.asarray(f32))
+
+
+def test_stacked_twin_q_matches_plain():
+    """SacConfig.stacked_twin_q stores the same numbers in a stacked
+    layout: init leaves are identical per network, the forward matches
+    the two plain MLP applies to f32 tolerance, and stack/unstack
+    round-trips exactly."""
+    from nlbac_tpu.nn import twin_q_stack, twin_q_unstack
+
+    key = jax.random.PRNGKey(8)
+    plain = twin_q_init(key, 7, 2, 32)
+    stacked = twin_q_init(key, 7, 2, 32, stacked=True)
+    # same init values, different layout
+    for i, (w1, w2) in enumerate(zip(plain["q1"]["w"], plain["q2"]["w"])):
+        np.testing.assert_array_equal(stacked["w"][i][0], w1)
+        np.testing.assert_array_equal(stacked["w"][i][1], w2)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (64, 7))
+    act = jax.random.normal(jax.random.PRNGKey(2), (64, 2))
+    q1p, q2p = twin_q_apply(plain, obs, act)
+    q1s, q2s = twin_q_apply(stacked, obs, act)
+    np.testing.assert_allclose(q1s, q1p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(q2s, q2p, rtol=1e-5, atol=1e-6)
+    # layout round-trips bit-exactly
+    rt = twin_q_stack(twin_q_unstack(stacked))
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(stacked)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stacked_twin_q_episode_equivalence():
+    """A full compiled episode (env + replay + updates) under
+    stacked_twin_q=True matches the plain layout to f32 tolerance —
+    the lever is a pure layout change."""
+    import dataclasses as dc
+
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.config import ReplayConfig, get_config
+    from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+    base = get_config("unicycle")
+    base = dc.replace(
+        base,
+        env=dc.replace(base.env, max_episode_steps=50),
+        sac=dc.replace(base.sac, hidden_dim=16, batch_size=8,
+                       updates_per_step=1, start_steps=10),
+        node=dc.replace(base.node, hidden_dim=8, mlp_hidden_layers=1,
+                        max_batch=16),
+        replay=ReplayConfig(capacity=256, node_capacity=256),
+    )
+    rewards = {}
+    for flag in (False, True):
+        cfg = dc.replace(base, sac=dc.replace(base.sac,
+                                              stacked_twin_q=flag))
+        ts = create_train_state(cfg, jax.random.PRNGKey(3))
+        rl, node = create_replays(cfg)
+        run = jax.jit(make_episode_runner(cfg))
+        ts, rl, node, m, _ = run(ts, rl, node, jax.random.PRNGKey(4),
+                                 jnp.int32(0), jnp.int32(0))
+        rewards[flag] = float(m.reward)
+    np.testing.assert_allclose(rewards[True], rewards[False],
+                               rtol=1e-4, atol=1e-5)
