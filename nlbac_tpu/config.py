@@ -70,8 +70,12 @@ class SacConfig:
     start_steps: int = 1000  # warmup random actions
     # Store the twin Q-networks' weights stacked on a leading k=2 axis
     # (one batched einsum per layer instead of two MLP applies).
-    # Numerically identical init; perf lever, default off pending an
-    # interleaved end-to-end A/B win (scripts/ab_stacked_q.py).
+    # Numerically identical init. MEASURED LOSS, do not flip: 0.970x
+    # interleaved A/B (2110 vs 2176 steps/s unicycle medians,
+    # scripts/ab_stacked_q.py) — even with the layout fixed at init (no
+    # runtime stack/slice ops, unlike the r2 experiment), the k=2
+    # batched einsum loses to two plain matmuls on v5e. Kept for
+    # measurement reproducibility.
     stacked_twin_q: bool = False
 
 
