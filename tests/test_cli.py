@@ -238,3 +238,19 @@ def test_n_seeds_rejects_single_seed_flags():
                   ["--profile_dir", "/tmp/p"], ["--wandb"]):
         with pytest.raises(SystemExit):
             main(["--preset", "unicycle", "--n_seeds", "2"] + extra)
+
+
+def test_examples_fit_dynamics_runs():
+    """examples/fit_dynamics.py exercises the public ode + NODE surface
+    end-to-end (odeint rk4 data generation, node_train_step fit to
+    <1e-4 MSE) as a subprocess, the way a user would run it."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "fit_dynamics.py"),
+         "--cpu"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "fitted" in out.stdout
