@@ -77,15 +77,17 @@ def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
 
     Returns (loss, lam', rho').  Transition order matches the reference:
     ascent with rho_in, THEN rho bump, THEN loss with (lam', rho')."""
-    # The reference ascends multipliers and forms the ratio on the RAW
-    # filtered means (required_matrix_copy, no cost_limit shift); only the
-    # loss generalizes with cost_limit (0 in every preset, so identical
-    # there, but the distinction matters if cost_limit is configured).
-    m = filtered_means(terms, batch_size)  # (K,) raw
-    c = m - cfg.cost_limit  # (K,) shifted, loss only
+    # Operand split per the reference: multiplier ascent uses the RAW
+    # filtered means (required_matrix_copy, UNI/sac_cbf_clf/sac_cbf_clf.py
+    # :516-519), while BOTH the ratio and the loss use the cost_limit-
+    # shifted means (ratio at :506-509 divides |mean(m[:-1]-cl)| by
+    # |m[-1]-cl|; loss at :524-528). Identical when cost_limit=0 (every
+    # preset), but the split matters if cost_limit is configured.
+    m = filtered_means(terms, batch_size)  # (K,) raw: ascent only
+    c = m - cfg.cost_limit  # (K,) shifted: ratio + loss
     if cfg.use_ratio:
-        other = jnp.abs(jnp.mean(m[:-1]))
-        lya = jnp.abs(m[-1])
+        other = jnp.abs(jnp.mean(c[:-1]))
+        lya = jnp.abs(c[-1])
         # Guard: the reference divides by |c_clf| unprotected; a zero CLF
         # residual would NaN its loss. We clamp the denominator instead.
         ratio = jax.lax.stop_gradient(other / jnp.maximum(lya, 1e-12))

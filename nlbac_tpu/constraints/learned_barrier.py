@@ -80,4 +80,8 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
 
 
 NUM_PRIMARY = 2  # 1 learned barrier + 1 CLF
-NUM_BACKUP = 1  # unused (NBC trains no backup controller)
+# The NBC-UNI/NBC-PVTOL presets train no backup controller
+# (use_backup=False), but the quadrotor preset uses this builder WITH a
+# backup (config.py _quadrotor: use_backup=True), so the backup
+# multiplier state is live there: 1 barrier constraint, no CLF.
+NUM_BACKUP = 1

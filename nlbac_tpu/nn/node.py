@@ -124,8 +124,18 @@ def predict_next_state(cfg: NodeConfig, params, x, u, dt, t=None,
     if field is None:
         field = make_field(cfg)
     s0 = pack_input(cfg, x, u, t)
-    s1 = solvers.odeint(field, params, s0, 0.0, dt, method=cfg.solver,
-                        num_steps=cfg.solver_steps)
+    if cfg.solver == "dopri5":
+        # The adaptive solver is a lax.while_loop — not reverse-mode
+        # differentiable — and this function sits on every gradient path
+        # (NODE fit, constraint rollouts).  Route through the adjoint
+        # (same forward values; backsolve VJP), which is also how
+        # torchdiffeq trains through dopri5.
+        from nlbac_tpu.ode import odeint_adjoint
+
+        s1 = odeint_adjoint(field, params, s0, 0.0, dt, method="dopri5")
+    else:
+        s1 = solvers.odeint(field, params, s0, 0.0, dt, method=cfg.solver,
+                            num_steps=cfg.solver_steps)
     return s1[..., :cfg.state_dim]
 
 

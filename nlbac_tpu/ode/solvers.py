@@ -11,11 +11,16 @@ reference passes are inert for fixed-step methods).  The adaptive path
 we provide it as a first-class solver.
 
 All solvers are pure functions of ``(field, params, y0, ...)`` where
-``field(params, t, y) -> dy/dt``.  The fixed-step methods accept arbitrary
-PYTREE states (needed by the adjoint's augmented system); dopri5 requires an
-array state.  Everything is jit/vmap/grad-compatible
-(discretize-then-optimize autodiff by default; see
-:mod:`nlbac_tpu.ode.adjoint` for optimize-then-discretize).
+``field(params, t, y) -> dy/dt``, accept arbitrary PYTREE states (needed
+by the adjoint's augmented system), and are jit/vmap-compatible.  The
+fixed-step family is also reverse-mode differentiable in place
+(discretize-then-optimize autodiff through the ``lax.scan``); dopri5 is a
+``lax.while_loop`` and therefore NOT reverse-mode differentiable directly
+— differentiate through it with :func:`nlbac_tpu.ode.odeint_adjoint`
+(optimize-then-discretize backsolve; ``nn.predict_next_state`` routes
+``solver='dopri5'`` there automatically).  On ``max_steps`` exhaustion
+the adaptive solver returns the partially-integrated state (a compiled
+loop cannot raise) — see :func:`solve_adaptive` for how to detect it.
 """
 
 from __future__ import annotations
@@ -183,17 +188,34 @@ class _AdaptState(NamedTuple):
 def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
                    atol: float = 1e-7, max_steps: int = 512,
                    safety: float = 0.9, min_factor: float = 0.2,
-                   max_factor: float = 10.0):
+                   max_factor: float = 10.0, return_final_t: bool = False):
     """Adaptive dopri5 with a PI step-size controller, as a bounded
     ``lax.while_loop`` (static ``max_steps`` backstop keeps it compilable).
 
     The state ``y0`` may be any pytree (needed by the adjoint's augmented
     system); the error norm is the RMS over all leaf elements, matching
-    torchdiffeq's ``rms_norm`` over the flattened tuple state.
+    torchdiffeq's ``rms_norm`` over the flattened tuple state.  Reverse
+    spans (t1 < t0) integrate backward, like the fixed-step family
+    (internally the solver runs forward over sigma in [0, |t1-t0|] on a
+    direction-flipped field, so both directions stay fully traceable).
+
+    If ``max_steps`` trial steps are exhausted before reaching ``t1``
+    (stiff field / tolerances unreachable in f32), the PARTIAL state is
+    returned — a compiled loop cannot raise the way torchdiffeq does.
+    Pass ``return_final_t=True`` to get ``(y, t_reached)`` and check
+    ``t_reached`` against ``t1`` when that case matters.
     """
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
-    dt0 = (t1 - t0) * 0.1
+    span = jnp.abs(t1 - t0)
+    direction = jnp.sign(t1 - t0)
+    orig_field = field
+
+    def field(p, s, y):  # noqa: F811 — sigma-time wrapper
+        return jax.tree.map(lambda v: direction * v,
+                            orig_field(p, t0 + direction * s, y))
+
+    dt0 = span * 0.1
 
     def err_norm(y5, y4, y):
         def leaf_sq(a5, a4, a):
@@ -205,10 +227,10 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
         return jnp.sqrt(total / n)
 
     def cond(s: _AdaptState):
-        return jnp.logical_and(s.t < t1, s.n_steps < max_steps)
+        return jnp.logical_and(s.t < span, s.n_steps < max_steps)
 
     def body(s: _AdaptState):
-        dt = jnp.minimum(s.dt, t1 - s.t)
+        dt = jnp.minimum(s.dt, span - s.t)
         y5, y4 = _dopri5_step(field, params, s.t, s.y, dt)
         err = err_norm(y5, y4, s.y)
         accept = err <= 1.0
@@ -225,9 +247,11 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
             n_steps=s.n_steps + 1,
         )
 
-    init = _AdaptState(t=t0, y=y0, dt=dt0, err_prev=jnp.float32(1.0),
-                       n_steps=jnp.int32(0))
+    init = _AdaptState(t=jnp.float32(0.0), y=y0, dt=dt0,
+                       err_prev=jnp.float32(1.0), n_steps=jnp.int32(0))
     final = lax.while_loop(cond, body, init)
+    if return_final_t:
+        return final.y, t0 + direction * final.t
     return final.y
 
 

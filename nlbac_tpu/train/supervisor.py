@@ -7,9 +7,10 @@ Three trigger variants, selected by config:
   last 40 positions stays <= 0.01 for 8 consecutive checks, switch to the
   backup controller; switch back after 30 backup steps or once displaced
   >= 0.6 from the switch anchor.
-- ``cars_gap`` (CARS/main.py:102-112): switch when gap34 < 2.5 while the
-  desired region is reached; back after 15 steps, or after >= 5 steps once
-  both gaps clear 2.5.
+- ``cars_gap`` (CARS/main.py:102-112): switch when the car-4/5 gap
+  (next_obs[6]*100 - next_obs[8]*100) < 2.5 while the desired region is
+  reached; back after 15 steps, or after >= 5 steps once both gaps clear
+  2.5.
 - ``pvtol`` (PVTOL/main.py:128-201): the trap machine (thresholds 0.015 /
   1.0) PLUS an operator-rush machine (moving toward the goal while
   violating the operator distance); two separate timers.

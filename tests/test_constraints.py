@@ -303,3 +303,32 @@ def test_metrics_sink_wandb_gracefully_degrades(capsys):
     sink.log({"a": 1.0})
     assert sink.history == [{"a": 1.0}]
     sink.close()
+
+
+def test_ratio_uses_cost_limit_shifted_means():
+    """The balance ratio divides the cost_limit-SHIFTED means, while
+    multiplier ascent uses the RAW means (UNI/sac_cbf_clf/sac_cbf_clf.py:
+    506-519). Identical when cost_limit=0 (every preset); this pins the
+    generalization for nonzero cost_limit."""
+    import dataclasses as dc
+
+    cfg = ConstraintConfig(kind="unicycle", gamma_b=1.0, use_ratio=True,
+                           lambda_update_interval=1, rho_init=1.0)
+    cfg = dc.replace(cfg, cost_limit=0.5)
+    # two CBF columns + one CLF column, batch 2
+    terms = jnp.array([[2.0, 0.0, 1.0], [0.0, 4.0, 1.0]])
+    lam = jnp.zeros(3)
+    loss, lam2, rho2 = primary_loss(cfg, terms, lam, jnp.float32(1.0),
+                                    do_lambda_update=jnp.array(True),
+                                    batch_size=2)
+    m = np.array([1.0, 2.0, 1.0])  # raw relu-means
+    c = m - 0.5  # shifted
+    ratio = abs(np.mean(c[:-1])) / abs(c[-1])  # = 1.0/0.5 = 2.0
+    lam_exp = np.clip(0 + 1.0 * m, 0.01, 400.0)  # ascent on RAW means
+    rho_exp = min(1.0 * 1.0005, 200)
+    loss_exp = (lam_exp[0] * c[0] + rho_exp / 2 * c[0] ** 2
+                + lam_exp[1] * c[1] + rho_exp / 2 * c[1] ** 2
+                + lam_exp[2] * ratio * c[2]
+                + rho_exp / 2 * ratio ** 2 * c[2] ** 2)
+    np.testing.assert_allclose(np.asarray(lam2), lam_exp, rtol=1e-6)
+    np.testing.assert_allclose(float(loss), loss_exp, rtol=1e-5)

@@ -210,3 +210,79 @@ def test_adjoint_dopri5_y0_gradients():
     # dL/dy0 = exp(lam * t) elementwise
     np.testing.assert_allclose(np.asarray(g),
                                np.full(2, np.exp(-1.3 * 0.7)), rtol=1e-3)
+
+
+def test_dopri5_node_training_path_differentiates():
+    """--node_solver dopri5 must be trainable: predict_next_state routes
+    dopri5 through the adjoint (the raw adaptive solver is a
+    lax.while_loop, not reverse-mode differentiable — this path used to
+    crash at the first gradient update). Checks both gradient consumers:
+    the NODE fit (grad wrt params) and the constraint rollout direction
+    (grad wrt the action through the packed state)."""
+    import optax
+
+    from nlbac_tpu.config import NodeConfig
+    from nlbac_tpu.nn import make_field, node_init, node_train_step
+    from nlbac_tpu.nn.node import predict_next_state
+
+    cfg = NodeConfig(form="control_affine", state_dim=2, action_dim=1,
+                     hidden_dim=8, solver="dopri5")
+    params = node_init(jax.random.PRNGKey(0), cfg)
+    field = make_field(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    u = jax.random.normal(jax.random.PRNGKey(2), (16, 1))
+    x_next = x + 0.01
+
+    opt = optax.adam(1e-3)
+    params2, _, loss = jax.jit(lambda p, o: node_train_step(
+        cfg, p, o, opt, x, u, x_next, 0.02, field=field))(params,
+                                                          opt.init(params))
+    assert np.isfinite(float(loss))
+    # params actually moved
+    moved = any(float(jnp.max(jnp.abs(a - b))) > 0
+                for a, b in zip(jax.tree.leaves(params2),
+                                jax.tree.leaves(params)))
+    assert moved
+
+    # gradient wrt the action (the policy-loss consumer)
+    g = jax.grad(lambda uu: jnp.sum(
+        predict_next_state(cfg, params, x, uu, 0.02, field=field)))(u)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_dopri5_reverse_time_span():
+    """dopri5 integrates reverse spans (t1 < t0) like the fixed-step
+    family, instead of silently returning y0 (it used to: the loop cond
+    `t < t1` was false on entry). Exponential decay forward then backward
+    must round-trip."""
+    from nlbac_tpu.ode import odeint
+
+    field = lambda p, t, y: -0.8 * y
+    y0 = jnp.array([1.0, 2.0, -3.0])
+    y1 = odeint(field, None, y0, 0.0, 1.0, method="dopri5")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0) * np.exp(-0.8),
+                               rtol=1e-4)
+    y0_back = odeint(field, None, y1, 1.0, 0.0, method="dopri5")
+    assert float(jnp.max(jnp.abs(y0_back - y0))) > 0 or True
+    np.testing.assert_allclose(np.asarray(y0_back), np.asarray(y0),
+                               rtol=1e-4)
+
+
+def test_dopri5_max_steps_truncation_is_detectable():
+    """On max_steps exhaustion solve_adaptive returns the PARTIAL state
+    (a compiled loop cannot raise); return_final_t=True surfaces how far
+    it got so callers can detect the truncation."""
+    from nlbac_tpu.ode.solvers import solve_adaptive
+
+    field = lambda p, t, y: -0.8 * y
+    y0 = jnp.array([1.0])
+    # absurd tolerance + tiny step budget: cannot reach t1
+    y, t_reached = solve_adaptive(field, None, y0, 0.0, 1e6,
+                                  rtol=1e-12, atol=1e-14, max_steps=4,
+                                  return_final_t=True)
+    assert float(t_reached) < 1e6
+    # healthy solve reaches t1 exactly
+    y, t_reached = solve_adaptive(field, None, y0, 0.0, 1.0,
+                                  return_final_t=True)
+    np.testing.assert_allclose(float(t_reached), 1.0, rtol=1e-6)
