@@ -76,7 +76,12 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
     opts = make_optimizers(cfg)
     ccfg, ncfg, scfg = cfg.constraint, cfg.node, cfg.sac
     dt = cfg.env.dt
-    target_entropy = -float(cfg.action_dim)
+    # Reference: -dim(A) in the scaled action space (UNI/sac_cbf_clf/
+    # sac_cbf_clf.py:78-82); SacConfig.target_entropy overrides (see the
+    # calibration note there).
+    target_entropy = (-float(cfg.action_dim)
+                      if scfg.target_entropy is None
+                      else float(scfg.target_entropy))
     is_nbc = ccfg.kind == "learned_barrier"
     is_gaussian = scfg.policy_type != "deterministic"
     entropy_tuning = scfg.automatic_entropy_tuning and is_gaussian

@@ -77,6 +77,18 @@ class SacConfig:
     # batched einsum loses to two plain matmuls on v5e. Kept for
     # measurement reproducibility.
     stacked_twin_q: bool = False
+    # SAC target entropy for BOTH temperature updates (primary + backup).
+    # None = the reference's -dim(A) (UNI/sac_cbf_clf/sac_cbf_clf.py:
+    # 78-82), in the env-SCALED action space.  -dim(A) is only calibrated
+    # for ~unit action scales: the tanh-squash log-prob correction adds
+    # sum(log scale_i) to the entropy, so wide-range envs sit above the
+    # target (unicycle/pvtol: +3.7/+4.0 nats, alpha decays/oscillates)
+    # while the quadrotor's narrow +/-30%-hover range (-0.6 nats) leaves
+    # every achievable useful policy BELOW it and alpha ratchets 0.2 ->
+    # 140 until entropy noise swamps the Q term (PARITY.md "Quadrotor").
+    # Override to recalibrate (e.g. -dim(A) + sum(log scale) keeps the
+    # reference's concentration target in the UNIT tanh space).
+    target_entropy: float | None = None
 
 
 @dataclass(frozen=True)

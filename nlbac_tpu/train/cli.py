@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in terminal crash penalty (quadrotor): "
                         "subtract this from the reward on a kill-box "
                         "termination (0=off)")
+    p.add_argument("--target_entropy", type=float, default=None,
+                   help="override the SAC target entropy for both "
+                        "temperature updates (default: the reference's "
+                        "-dim(A); see SacConfig.target_entropy for the "
+                        "action-scale calibration note)")
     # constraints
     p.add_argument("--gamma_b", type=float, default=None)
     p.add_argument("--gamma_l", type=float, default=None)
@@ -139,7 +144,8 @@ def config_from_args(args) -> NLBACConfig:
                 updates_per_step=args.updates_per_step,
                 start_steps=args.start_steps,
                 target_update_interval=args.target_update_interval,
-                automatic_entropy_tuning=args.automatic_entropy_tuning),
+                automatic_entropy_tuning=args.automatic_entropy_tuning,
+                target_entropy=args.target_entropy),
         env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
                 spawn_curriculum_episodes=args.spawn_curriculum_episodes,
                 kill_penalty=args.kill_penalty),

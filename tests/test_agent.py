@@ -285,3 +285,28 @@ def test_node_fit_samples_whole_buffer():
     assert float(m["node_loss"]) > 1.0, (
         f"node_loss={float(m['node_loss'])}: NODE fit appears to sample "
         "only the oldest max_batch records")
+
+
+def test_target_entropy_override():
+    """SacConfig.target_entropy overrides the reference's -dim(A) for the
+    temperature update (None reproduces it bit-exactly; a permissive
+    override must push alpha DOWN relative to default when the policy sits
+    below the default target — the quadrotor ratchet lever, PARITY.md)."""
+    cfg = tiny("unicycle")
+    # None == explicit -dim(A): bit-equal trajectories
+    cfg_explicit = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac, target_entropy=-2.0))
+    s_none, _ = run_updates(cfg, 3)
+    s_expl, _ = run_updates(cfg_explicit, 3)
+    np.testing.assert_array_equal(np.asarray(s_none[-1].log_alpha),
+                                  np.asarray(s_expl[-1].log_alpha))
+    # A very permissive target (entropy requirement far below anything
+    # the policy produces) must drive alpha down monotonically, and end
+    # strictly below the default run's alpha.
+    cfg_perm = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac, target_entropy=-100.0))
+    s_perm, m = run_updates(cfg_perm, 3)
+    a_perm = [float(jnp.exp(s.log_alpha[0])) for s in s_perm]
+    assert a_perm[1] < a_perm[0] and a_perm[2] < a_perm[1]
+    assert a_perm[-1] < float(jnp.exp(s_none[-1].log_alpha[0]))
+    assert np.isfinite(float(m["alpha_loss"]))
