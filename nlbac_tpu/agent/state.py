@@ -90,8 +90,18 @@ def create_train_state(cfg: NLBACConfig, key) -> TrainState:
                           cfg.constraint.rho_init)
 
     opts = make_optimizers(cfg)
-    log_alpha = jnp.zeros((1,), jnp.float32)
-    backup_log_alpha = jnp.zeros((1,), jnp.float32)
+    # With entropy tuning the reference starts log_alpha at 0
+    # (UNI/sac_cbf_clf/sac_cbf_clf.py:78-82; the tuned temperature is
+    # exp(log_alpha) from the second update on).  With tuning OFF the
+    # temperature is the constant args.alpha (= SacConfig.alpha_init,
+    # --alpha; sac_cbf_clf.py:32-33) — encode it in log_alpha, which the
+    # update never touches in that mode.
+    if cfg.sac.automatic_entropy_tuning or cfg.sac.policy_type == "deterministic":
+        init_log_alpha = 0.0
+    else:
+        init_log_alpha = float(jnp.log(jnp.float32(cfg.sac.alpha_init)))
+    log_alpha = jnp.full((1,), init_log_alpha, jnp.float32)
+    backup_log_alpha = jnp.full((1,), init_log_alpha, jnp.float32)
     opt = {
         "policy": opts["policy"].init(policy),
         "backup_policy": opts["backup_policy"].init(backup_policy),

@@ -19,15 +19,18 @@ def summarize(root):
         goals = [int(float(r[idx["goal_met"]])) for r in data]
         rew = [float(r[idx["reward_train"]]) for r in data]
         steps = [int(float(r[idx["episode_steps"]])) for r in data]
+        alpha = [float(r[idx["alpha"]]) for r in data]
         fg = next((i for i, g in enumerate(goals) if g), None)
         rows.append((int(seed), len(goals), sum(goals), sum(goals[-30:]),
-                     sum(rew[-30:]) / 30, sum(steps[-30:]) / 30, fg))
+                     sum(rew[-30:]) / 30, sum(steps[-30:]) / 30, fg,
+                     max(alpha), alpha[-1]))
     rows.sort()
     print(f"{'seed':>6} {'eps':>4} {'goals':>6} {'last30':>7} "
-          f"{'rew_l30':>9} {'len_l30':>8} {'first_goal':>10}")
+          f"{'rew_l30':>9} {'len_l30':>8} {'first_goal':>10} "
+          f"{'a_max':>7} {'a_end':>7}")
     for r in rows:
         print(f"{r[0]:>6} {r[1]:>4} {r[2]:>6} {r[3]:>7} {r[4]:>9.1f} "
-              f"{r[5]:>8.1f} {str(r[6]):>10}")
+              f"{r[5]:>8.1f} {str(r[6]):>10} {r[7]:>7.2f} {r[8]:>7.2f}")
 
 if __name__ == "__main__":
     for root in (sys.argv[1:] or ["results/r3/quad_killpen_p250"]):

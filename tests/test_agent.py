@@ -310,3 +310,23 @@ def test_target_entropy_override():
     assert a_perm[1] < a_perm[0] and a_perm[2] < a_perm[1]
     assert a_perm[-1] < float(jnp.exp(s_none[-1].log_alpha[0]))
     assert np.isfinite(float(m["alpha_loss"]))
+
+
+def test_fixed_alpha_uses_alpha_init():
+    """With automatic_entropy_tuning=False the temperature is the constant
+    SacConfig.alpha_init (reference args.alpha, sac_cbf_clf.py:32-33) —
+    NOT exp(0)=1.0 (an r3 bug: the fixed-alpha quadrotor sweep actually
+    ran alpha=1.0)."""
+    cfg = tiny("unicycle")
+    cfg = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac,
+                                     automatic_entropy_tuning=False,
+                                     alpha_init=0.37))
+    snaps, m = run_updates(cfg, 2)
+    assert abs(float(m["alpha"]) - 0.37) < 1e-6
+    # log_alpha (and the backup temperature) never move in this mode.
+    np.testing.assert_array_equal(np.asarray(snaps[0].log_alpha),
+                                  np.asarray(snaps[-1].log_alpha))
+    np.testing.assert_array_equal(np.asarray(snaps[0].backup_log_alpha),
+                                  np.asarray(snaps[-1].backup_log_alpha))
+    assert abs(float(np.exp(snaps[-1].log_alpha[0])) - 0.37) < 1e-6
