@@ -137,7 +137,11 @@ class EnvConfig:
     max_episode_steps: int = 1200
     # NBC variants: emit barrier signals from the env
     barrier_signals: bool = False
-    barrier_b: float = 0.0  # little_b
+    # little_b: the signal value when NO barrier is violated (NBC envs
+    # return little_b if safe, else n_violations * capital_b — first
+    # violation REPLACES little_b, the rest add; NBC unicycle_env.py:
+    # 116-145). Every reference variant sets 0.0.
+    barrier_b: float = 0.0
     barrier_B: float = -20.0  # capital_b (-0.1 for PVTOL)
     # Opt-in reverse spawn curriculum (envs exposing reset_curriculum;
     # currently quadrotor only): anneal the spawn from near-goal back to
@@ -192,16 +196,6 @@ class RunConfig:
 
 
 @dataclass(frozen=True)
-class ParallelConfig:
-    """Device-mesh scale-out. The honest successor to the reference's dead
-    MPI layer (UNI/utils/mpi_*.py): seed-parallel over a 'seed' axis and
-    batch-parallel gradient psum over a 'dp' axis."""
-
-    seed_axis: int = 1
-    dp_axis: int = 1
-
-
-@dataclass(frozen=True)
 class NLBACConfig:
     env: EnvConfig = field(default_factory=EnvConfig)
     sac: SacConfig = field(default_factory=SacConfig)
@@ -210,7 +204,11 @@ class NLBACConfig:
     supervisor: SupervisorConfig = field(default_factory=SupervisorConfig)
     replay: ReplayConfig = field(default_factory=ReplayConfig)
     run: RunConfig = field(default_factory=RunConfig)
-    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # Device-mesh scale-out (seed-parallel 'seed' axis, batch-parallel
+    # 'dp' psum) lives in nlbac_tpu.parallel and is configured at the
+    # call site (mesh shape is a runtime property, not a run config) —
+    # the honest successor to the reference's dead MPI layer
+    # (UNI/utils/mpi_*.py).
 
     # Dims of the de-facto env API (SURVEY.md §1 L1 contract)
     obs_dim: int = 7
@@ -331,9 +329,22 @@ def _quadrotor() -> NLBACConfig:
     from nlbac_tpu.envs import quadrotor as quad
     return NLBACConfig(
         env=EnvConfig(name="quadrotor", dt=0.02, max_episode_steps=1000,
-                      barrier_signals=True),
+                      barrier_signals=True,
+                      # Terminal crash penalty: removes the 34-step
+                      # dive-into-the-ground local optimum (crash return
+                      # ~ -65 beats hovering ~ -190 under reward=-dist;
+                      # PARITY.md "Quadrotor", lever 5).
+                      kill_penalty=250.0),
         sac=SacConfig(batch_size=256, updates_per_step=1,
-                      start_steps=1000),
+                      start_steps=1000,
+                      # -dim(A) = -2 is calibrated for ~unit action
+                      # scales; this env's +/-30%-hover range leaves
+                      # useful policies permanently below it and alpha
+                      # ratchets 0.2 -> 140. -4.0 is the measured sweet
+                      # spot (lever 7, PARITY.md): first goal ep 28 vs
+                      # 150, durable to 400 eps, alpha self-corrects;
+                      # -8.0 over-corrects (under-explores).
+                      target_entropy=-4.0),
         node=NodeConfig(form="mlp", state_dim=6, action_dim=2,
                         hidden_dim=100, mlp_hidden_layers=3,
                         normalize=True, state_scale=quad.STATE_SCALE,

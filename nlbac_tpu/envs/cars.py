@@ -80,6 +80,7 @@ def accelerations(x, t):
 
 
 def step(state: CarsState, action, *, barrier_B: float = 0.0,
+         barrier_b: float = 0.0,
          max_episode_steps: int = SPEC.max_episode_steps
          ) -> Tuple[CarsState, StepOut]:
     f32 = jnp.float32
@@ -113,7 +114,8 @@ def step(state: CarsState, action, *, barrier_B: float = 0.0,
     n_viol = v34 + v45
     cost = (v34 * jnp.abs(gap34 - GAP_MIN) + v45 * jnp.abs(gap45 - GAP_MIN))
     constraint = jnp.abs(gap34 - SHOULD_KEEP)
-    barrier = n_viol * f32(barrier_B)
+    barrier = jnp.where(n_viol > 0, n_viol * f32(barrier_B),
+                        f32(barrier_b))
 
     out = StepOut(
         obs=get_obs(x_new), reward=f32(reward), constraint=f32(constraint),

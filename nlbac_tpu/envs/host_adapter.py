@@ -79,9 +79,10 @@ class HostEnvAdapter:
         return jnp.int32(0), obs
 
     def step(self, state, action, *, barrier_B: float = 0.0,
+             barrier_b: float = 0.0,
              max_episode_steps: int | None = None
              ) -> Tuple[jnp.ndarray, StepOut]:
-        del barrier_B, max_episode_steps  # host env owns these semantics
+        del barrier_B, barrier_b, max_episode_steps  # host env owns these
         f32 = jnp.float32
         shapes = (
             jax.ShapeDtypeStruct((self.SPEC.obs_dim,), jnp.float32),

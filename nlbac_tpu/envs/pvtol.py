@@ -80,6 +80,7 @@ def dynamics_f(dyn):
 
 
 def step(state: PvtolState, action, *, barrier_B: float = 0.0,
+         barrier_b: float = 0.0,
          max_episode_steps: int = SPEC.max_episode_steps
          ) -> Tuple[PvtolState, StepOut]:
     f32 = jnp.float32
@@ -120,7 +121,8 @@ def step(state: PvtolState, action, *, barrier_B: float = 0.0,
     n_viol = n_obs + op_viol + ymin_viol + ymax_viol
     cost = c_obs + c_op + c_ymin + c_ymax
     # NBC: obstacles per-hazard; operator/y each once (NBC-PVTOL env)
-    barrier = (n_obs + op_viol + ymin_viol + ymax_viol) * f32(barrier_B)
+    barrier = jnp.where(n_viol > 0, n_viol * f32(barrier_B),
+                        f32(barrier_b))
 
     lyap_t1 = get_obs(x_new)
     out = StepOut(

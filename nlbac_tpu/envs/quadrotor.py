@@ -148,10 +148,11 @@ def dynamics(x, u):
 
 
 def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
+         barrier_b: float = 0.0,
          max_episode_steps: int = SPEC.max_episode_steps,
          kill_penalty: float = 0.0
          ) -> Tuple[QuadrotorState, StepOut]:
-    del barrier_B  # this env defines its own two-level barrier signals
+    del barrier_B, barrier_b  # this env defines its own barrier signals
     f32 = jnp.float32
     x = state.x
     lyap_t = _pos(x)

@@ -80,6 +80,7 @@ def reset(key, max_episode_steps: int = SPEC.max_episode_steps
 
 
 def step(state: UnicycleState, action, *, barrier_B: float = 0.0,
+         barrier_b: float = 0.0,
          max_episode_steps: int = SPEC.max_episode_steps
          ) -> Tuple[UnicycleState, StepOut]:
     f32 = jnp.float32
@@ -112,7 +113,10 @@ def step(state: UnicycleState, action, *, barrier_B: float = 0.0,
     dists = jnp.sqrt(d2)
     cost = jnp.sum(jnp.where(violated,
                              (HAZARD_RADIUS - dists) / HAZARD_RADIUS, 0.0))
-    barrier = n_viol * f32(barrier_B)
+    # little_b if safe, else n*B (first violation replaces little_b,
+    # the rest add; NBC unicycle_env.py:116-145)
+    barrier = jnp.where(n_viol > 0, n_viol * f32(barrier_B),
+                        f32(barrier_b))
 
     out = StepOut(
         obs=get_obs(x_new), reward=f32(reward), constraint=f32(dist_goal),

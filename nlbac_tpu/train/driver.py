@@ -92,6 +92,7 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     dt = cfg.env.dt
     max_steps = cfg.env.max_episode_steps
     barrier_B = cfg.env.barrier_B if cfg.env.barrier_signals else 0.0
+    barrier_b = cfg.env.barrier_b if cfg.env.barrier_signals else 0.0
 
     curriculum_eps = getattr(cfg.env, "spawn_curriculum_episodes", 0)
     use_curriculum = curriculum_eps > 0
@@ -216,6 +217,7 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
             # --- 3. env step --------------------------------------------
             env_state, out = env.step(c.env_state, action,
                                       barrier_B=barrier_B,
+                                      barrier_b=barrier_b,
                                       max_episode_steps=max_steps,
                                       **step_kwargs)
             episode_steps = c.episode_steps + 1

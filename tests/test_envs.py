@@ -227,6 +227,26 @@ def test_barrier_signals_nbc_mode():
     assert float(out.num_violations) >= 1
 
 
+def test_barrier_signal_little_b():
+    """Reference NBC semantics (unicycle_env.py:116-145): the signal is
+    little_b when NO barrier is violated; the first violation REPLACES
+    little_b with capital_b (so n violations give n*B, not b + n*B)."""
+    # violating step: little_b must not leak into the signal
+    st, _ = unicycle.reset(jax.random.PRNGKey(9))
+    st = st._replace(x=jnp.array([0.0, 0.0, 0.0]))  # on hazard (0,0)
+    _, out = unicycle.step(st, jnp.array([0.0, 0.0]), barrier_B=-20.0,
+                           barrier_b=0.5)
+    assert float(out.num_violations) >= 1
+    assert float(out.barrier_signal) == -20.0 * float(out.num_violations)
+    # safe step: signal == little_b exactly
+    st2, _ = unicycle.reset(jax.random.PRNGKey(9))
+    st2 = st2._replace(x=jnp.array([40.0, 40.0, 0.0]))  # far from hazards
+    _, out2 = unicycle.step(st2, jnp.array([0.0, 0.0]), barrier_B=-20.0,
+                            barrier_b=0.5)
+    assert float(out2.num_violations) == 0
+    assert float(out2.barrier_signal) == 0.5
+
+
 def test_envs_vmap_batchable():
     st, _ = unicycle.reset(jax.random.PRNGKey(10))
     batch_state = jax.tree.map(lambda x: jnp.stack([x] * 8), st)
