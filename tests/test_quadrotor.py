@@ -206,14 +206,22 @@ def test_curriculum_driver_wiring():
 
 def test_kill_penalty_applies_only_on_kill():
     """kill_penalty subtracts from the reward exactly on the kill-box
-    termination step, and 0 (every preset default) leaves the reward
-    bit-identical. The penalty removes the dive-into-the-ground local
-    optimum documented in PARITY.md (crash return ~ -65 beats hovering
-    ~ -190 without it)."""
+    termination step, and 0 leaves the reward bit-identical. The penalty
+    removes the dive-into-the-ground local optimum documented in
+    PARITY.md (crash return ~ -65 beats hovering ~ -190 without it);
+    since r4 the quadrotor preset ships it on (250, with the recalibrated
+    target entropy -4.0 — the measured-best recipe); every reference
+    preset keeps 0 (no such term in the reference rewards)."""
     from nlbac_tpu.config import PRESETS
 
     for name in PRESETS:
-        assert get_config(name).env.kill_penalty == 0.0
+        cfg = get_config(name)
+        if name == "quadrotor":
+            assert cfg.env.kill_penalty == 250.0
+            assert cfg.sac.target_entropy == -4.0
+        else:
+            assert cfg.env.kill_penalty == 0.0
+            assert cfg.sac.target_entropy is None
 
     # Dive: zero thrust-ish (min action) from the spawn crashes through
     # z < -0.5 within ~40 steps.
