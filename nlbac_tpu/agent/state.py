@@ -10,6 +10,7 @@ updates run inside jit with no host state.
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -92,14 +93,21 @@ def create_train_state(cfg: NLBACConfig, key) -> TrainState:
     opts = make_optimizers(cfg)
     # With entropy tuning the reference starts log_alpha at 0
     # (UNI/sac_cbf_clf/sac_cbf_clf.py:78-82; the tuned temperature is
-    # exp(log_alpha) from the second update on).  With tuning OFF the
-    # temperature is the constant args.alpha (= SacConfig.alpha_init,
+    # exp(log_alpha) from the second update on — the FIRST update's
+    # stale args.alpha is handled in agent/update.py).  With tuning OFF
+    # the temperature is the constant args.alpha (= SacConfig.alpha_init,
     # --alpha; sac_cbf_clf.py:32-33) — encode it in log_alpha, which the
     # update never touches in that mode.
+    if cfg.sac.policy_type != "deterministic" and cfg.sac.alpha_init <= 0:
+        raise ValueError(
+            f"SacConfig.alpha_init (--alpha) must be > 0 for Gaussian "
+            f"policies, got {cfg.sac.alpha_init} (it is the first "
+            f"update's temperature, and the constant temperature when "
+            f"entropy tuning is off)")
     if cfg.sac.automatic_entropy_tuning or cfg.sac.policy_type == "deterministic":
         init_log_alpha = 0.0
     else:
-        init_log_alpha = float(jnp.log(jnp.float32(cfg.sac.alpha_init)))
+        init_log_alpha = math.log(cfg.sac.alpha_init)
     log_alpha = jnp.full((1,), init_log_alpha, jnp.float32)
     backup_log_alpha = jnp.full((1,), init_log_alpha, jnp.float32)
     opt = {

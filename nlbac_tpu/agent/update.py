@@ -225,8 +225,17 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
             do_node, fit, skip, (ts.node, ts.opt["node"]))
 
         # --- 2. critic / Lyapunov / barrier TD --------------------------
-        alpha = (jnp.exp(ts.log_alpha[0]) if is_gaussian
-                 else jnp.float32(0.0))
+        # Stale-alpha quirk (UNI/sac_cbf_clf/sac_cbf_clf.py:32-33,299):
+        # the reference's update N consumes self.alpha as left by update
+        # N-1 — which is args.alpha for N=1 (log_alpha starts at 0 but
+        # exp(log_alpha) only overwrites self.alpha at the END of each
+        # update). Reading ts.log_alpha gives the N>=2 value; the first
+        # update must use alpha_init. With tuning off log_alpha encodes
+        # alpha_init, so the select is a no-op there.
+        alpha = (jnp.where(updates_ctr == 0,
+                           jnp.float32(scfg.alpha_init),
+                           jnp.exp(ts.log_alpha[0]))
+                 if is_gaussian else jnp.float32(0.0))
         next_a, next_logp, _ = sample_fn(ts.policy, batch["next_obs"],
                                          keys[2])
         q1_t, q2_t = twin_q_apply(ts.critic_target, batch["next_obs"],
@@ -317,7 +326,11 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         if ccfg.use_backup:
             backup_rho_in = (ts.lag.backup_rho if ccfg.separate_backup_rho
                              else rho1)
-            backup_alpha = (jnp.exp(ts.backup_log_alpha[0])
+            # Same stale-alpha quirk as the primary temperature
+            # (sac_cbf_clf.py:33,308): update 1 uses args.alpha.
+            backup_alpha = (jnp.where(updates_ctr == 0,
+                                      jnp.float32(scfg.alpha_init),
+                                      jnp.exp(ts.backup_log_alpha[0]))
                             if is_gaussian else jnp.float32(0.0))
 
             def backup_branch(args):

@@ -83,14 +83,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "anneal the spawn from near-goal back to the "
                         "standard start over this many episodes (0=off)")
     p.add_argument("--kill_penalty", type=float, default=None,
-                   help="opt-in terminal crash penalty (quadrotor): "
+                   help="terminal crash penalty (quadrotor only): "
                         "subtract this from the reward on a kill-box "
-                        "termination (0=off)")
+                        "termination. The quadrotor preset ships 250 "
+                        "(measured best, PARITY.md); pass 0 to disable")
     p.add_argument("--target_entropy", type=float, default=None,
                    help="override the SAC target entropy for both "
-                        "temperature updates (default: the reference's "
-                        "-dim(A); see SacConfig.target_entropy for the "
-                        "action-scale calibration note)")
+                        "temperature updates. Reference presets default "
+                        "to -dim(A); the quadrotor preset ships -4.0 "
+                        "(measured best, PARITY.md) — pass -2 there to "
+                        "restore -dim(A). See SacConfig.target_entropy "
+                        "for the action-scale calibration note")
     # constraints
     p.add_argument("--gamma_b", type=float, default=None)
     p.add_argument("--gamma_l", type=float, default=None)

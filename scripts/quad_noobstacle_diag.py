@@ -5,6 +5,11 @@ tracing; the episode program bakes them in as constants. The AOT cache
 keys on (cfg, code hash) only, so force a distinct code-hash identity or
 the run would deserialize the cached OBSTACLE program."""
 import sys
+# NOTE: the PYTHONPATH=/root/repo ENV VAR breaks axon plugin
+# registration (CLAUDE.md gotcha); this in-process sys.path insert does
+# not — but always confirm the CLI's startup banner says backend=tpu in
+# the run logs before comparing against TPU controls (the r4 diagnostic
+# runs did).
 sys.path.insert(0, "/root/repo")
 import jax.numpy as jnp
 from nlbac_tpu.envs import quadrotor as quad

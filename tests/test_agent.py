@@ -330,3 +330,14 @@ def test_fixed_alpha_uses_alpha_init():
     np.testing.assert_array_equal(np.asarray(snaps[0].backup_log_alpha),
                                   np.asarray(snaps[-1].backup_log_alpha))
     assert abs(float(np.exp(snaps[-1].log_alpha[0])) - 0.37) < 1e-6
+
+
+def test_alpha_init_validated_for_gaussian():
+    """alpha_init <= 0 would silently NaN log_alpha (fixed-alpha mode)
+    or the first update's temperature (stale-alpha quirk) — reject at
+    build time like the other opt-in flags."""
+    cfg = tiny("unicycle")
+    bad = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac, alpha_init=-0.2))
+    with pytest.raises(ValueError, match="alpha_init"):
+        create_train_state(bad, jax.random.PRNGKey(0))

@@ -148,7 +148,11 @@ def test_one_update_matches_torch_oracle():
     lyap_t_in = t(batch["lyap_t"])
 
     # ---- critic TD (sac_cbf_clf.py:231-246) ----------------------------
-    alpha = 1.0  # exp(0)
+    # The reference's stale-alpha quirk: update 1 consumes
+    # self.alpha = args.alpha (sac_cbf_clf.py:32, only overwritten by
+    # exp(log_alpha) at the END of each update) — this oracle models the
+    # first update, so the temperature is alpha_init, NOT exp(0)=1.
+    alpha = scfg.alpha_init
     na, nlogp = policy_sample_t(ts.policy, next_obs, n_next, scale, bias)
     q1_t = mlp_t(ts.critic["q1"], torch.cat([next_obs, na], 1))
     q2_t = mlp_t(ts.critic["q2"], torch.cat([next_obs, na], 1))
