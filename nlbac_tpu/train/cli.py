@@ -295,7 +295,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                      goal_met=float(m.goal_met),
                      reached=float(m.reached))
         for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                  "alpha_loss", "alpha", "node_loss"):
+                  "alpha_loss", "alpha", "node_loss", "rho", "lam_max"):
             logger.store(**{k: float(m.train[k])})
         logger.log_tabular("Episode")
         logger.log_tabular("episode_steps")
@@ -304,8 +304,12 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         logger.log_tabular("safety_cost_train")
         logger.log_tabular("goal_met")
         logger.log_tabular("reached")
+        # rho/lam_max: augmented-Lagrangian state, appended past the
+        # reference's column set so archived-run parsers (header-keyed)
+        # stay compatible — added r5 to make multiplier-driven collapse
+        # (PARITY.md "Quadrotor") diagnosable from progress.txt alone.
         for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                  "alpha_loss", "alpha", "node_loss"):
+                  "alpha_loss", "alpha", "node_loss", "rho", "lam_max"):
             logger.log_tabular(k)
         logger.log_tabular("updates", int(ts.updates))
         logger.log_tabular("backup_steps", int(m.backup_steps))
