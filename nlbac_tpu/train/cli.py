@@ -97,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
     # constraints
     p.add_argument("--gamma_b", type=float, default=None)
     p.add_argument("--gamma_l", type=float, default=None)
+    p.add_argument("--rho_max", type=float, default=None,
+                   help="cap on the augmented-Lagrangian penalty "
+                        "coefficient rho (reference hardcodes 200, "
+                        "sac_cbf_clf.py:523). The rho*c^2 term growing "
+                        "to this cap is the measured quadrotor "
+                        "goal-retention killer (PARITY.md r5)")
+    p.add_argument("--lambda_max", type=float, default=None,
+                   help="cap on the Lagrange multipliers (reference "
+                        "hardcodes 400; 300 for CARS)")
     p.add_argument("--l_p", type=float, default=None)
     p.add_argument("--Lagrangian_multiplier_update_interval", type=int,
                    default=None)
@@ -154,6 +163,7 @@ def config_from_args(args) -> NLBACConfig:
                 kill_penalty=args.kill_penalty),
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,
+                       rho_max=args.rho_max, lambda_max=args.lambda_max,
                        lambda_update_interval=(
                            args.Lagrangian_multiplier_update_interval),
                        backup_update_interval=args.backup_update_interval),

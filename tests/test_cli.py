@@ -136,6 +136,20 @@ def test_train_resume_from_checkpoint(tmp_path):
     assert cols["episode_steps"][0] <= 10
 
 
+def test_multiplier_cap_flags():
+    """--rho_max / --lambda_max override the AL caps; presets keep the
+    reference's hardcoded values (sac_cbf_clf.py:523 rho<=200;
+    lambda<=400, 300 for CARS) when the flags are absent."""
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--rho_max", "50", "--lambda_max", "100"])
+    cfg = config_from_args(args)
+    assert cfg.constraint.rho_max == 50.0
+    assert cfg.constraint.lambda_max == 100.0
+    cfg = config_from_args(build_parser().parse_args(["--preset", "cars"]))
+    assert cfg.constraint.rho_max == 200.0
+    assert cfg.constraint.lambda_max == 300.0
+
+
 def test_env_name_flag_maps_to_preset():
     args = build_parser().parse_args(["--env-name", "SimulatedCars"])
     cfg = config_from_args(args)
