@@ -340,11 +340,12 @@ def _quadrotor() -> NLBACConfig:
                       # -dim(A) = -2 is calibrated for ~unit action
                       # scales; this env's +/-30%-hover range leaves
                       # useful policies permanently below it and alpha
-                      # ratchets 0.2 -> 140. -4.0 is the measured sweet
-                      # spot (lever 7, PARITY.md): first goal ep 28 vs
-                      # 150, durable to 400 eps, alpha self-corrects;
-                      # -8.0 over-corrects (under-explores).
-                      target_entropy=-4.0),
+                      # ratchets 0.2 -> 140. -6.0 bounds alpha ~2.5-5
+                      # and, PAIRED with rho_max=50 below, is the only
+                      # post-r5 configuration with durable take-off
+                      # (levers 7+8, PARITY.md r5: TE=-4 dies with
+                      # alpha~5-10, -8.0 under-explores).
+                      target_entropy=-6.0),
         node=NodeConfig(form="mlp", state_dim=6, action_dim=2,
                         hidden_dim=100, mlp_hidden_layers=3,
                         normalize=True, state_scale=quad.STATE_SCALE,
@@ -359,6 +360,12 @@ def _quadrotor() -> NLBACConfig:
             kind="learned_barrier", gamma_b=1.0, gamma_l=0.1,
             clf_time_scaled=False, use_ratio=True, ratio_floor=0.002,
             lambda_max=400.0, horizon=1, use_backup=True,
+            # Lever 8 (PARITY.md r5): with the reference cap (200) the
+            # quadratic rho*c^2 term comes to dominate the policy loss
+            # and extinguishes goal-seeking — the instrumented run shows
+            # goals surviving only while rho is in the 2.5-51 band.
+            # 50 retains take-off; 20 under-enforces (goals die).
+            rho_max=50.0,
         ),
         supervisor=SupervisorConfig(kind="trap", trap_threshold=0.005,
                                     backup_max_steps=30,

@@ -90,8 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_entropy", type=float, default=None,
                    help="override the SAC target entropy for both "
                         "temperature updates. Reference presets default "
-                        "to -dim(A); the quadrotor preset ships -4.0 "
-                        "(measured best, PARITY.md) — pass -2 there to "
+                        "to -dim(A); the quadrotor preset ships -6.0 "
+                        "(measured best with rho_max=50, PARITY.md r5) "
+                        "— pass -2 there to "
                         "restore -dim(A). See SacConfig.target_entropy "
                         "for the action-scale calibration note")
     # constraints

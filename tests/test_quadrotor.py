@@ -209,19 +209,24 @@ def test_kill_penalty_applies_only_on_kill():
     termination step, and 0 leaves the reward bit-identical. The penalty
     removes the dive-into-the-ground local optimum documented in
     PARITY.md (crash return ~ -65 beats hovering ~ -190 without it);
-    since r4 the quadrotor preset ships it on (250, with the recalibrated
-    target entropy -4.0 — the measured-best recipe); every reference
-    preset keeps 0 (no such term in the reference rewards)."""
+    since r5 the quadrotor preset ships the measured-best recipe
+    kill_penalty=250 + target_entropy=-6.0 + rho_max=50 (levers 5+7+8,
+    the only post-parity-fix configuration with durable take-off);
+    every reference preset keeps kill_penalty=0 (no such term in the
+    reference rewards) and the reference's hardcoded rho cap of 200
+    (sac_cbf_clf.py:523)."""
     from nlbac_tpu.config import PRESETS
 
     for name in PRESETS:
         cfg = get_config(name)
         if name == "quadrotor":
             assert cfg.env.kill_penalty == 250.0
-            assert cfg.sac.target_entropy == -4.0
+            assert cfg.sac.target_entropy == -6.0
+            assert cfg.constraint.rho_max == 50.0
         else:
             assert cfg.env.kill_penalty == 0.0
             assert cfg.sac.target_entropy is None
+            assert cfg.constraint.rho_max == 200.0
 
     # Dive: zero thrust-ish (min action) from the spawn crashes through
     # z < -0.5 within ~40 steps.
