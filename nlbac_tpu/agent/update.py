@@ -283,6 +283,16 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
 
         # --- 3. primary policy -------------------------------------------
         do_lam = (updates_ctr % ccfg.lambda_update_interval == 0)
+        # Lever 10 (config.ConstraintConfig.lagrangian_warmup_episodes):
+        # freeze multiplier ascent + rho growth until episode N so the
+        # schedule cannot outpace early policy learning. Static False by
+        # default: lag_live=True keeps every reference preset's program
+        # byte-identical (no extra select ops).
+        if ccfg.lagrangian_warmup_episodes > 0:
+            lag_live = i_episode >= ccfg.lagrangian_warmup_episodes
+            do_lam = jnp.logical_and(do_lam, lag_live)
+        else:
+            lag_live = True
 
         def make_resampler(policy_params, rkey):
             def resample(o, k):
@@ -308,7 +318,7 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                                   include_clf=True, **term_kwargs)
             loss2, lam_new, rho1 = lag_primary_loss(
                 ccfg, terms, ts.lag.lam, ts.lag.rho, do_lam,
-                scfg.batch_size)
+                scfg.batch_size, do_rho_growth=lag_live)
             return loss1 + loss2, (logp, lam_new, rho1, loss1, loss2)
 
         (_, (logp, lam_new, rho1, policy_loss_1, policy_loss_2)), pgrads = \
@@ -346,7 +356,8 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                                           resample=make_resampler(p, None),
                                           include_clf=False, **term_kwargs)
                     loss2, blam_new, brho_new = lag_backup_loss(
-                        ccfg, terms, blam, brho, do_lam, scfg.batch_size)
+                        ccfg, terms, blam, brho, do_lam, scfg.batch_size,
+                        do_rho_growth=lag_live)
                     return loss1 + loss2, (blogp, blam_new, brho_new)
 
                 (_, (blogp, blam_new, brho_new)), bgrads = \

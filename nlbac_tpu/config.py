@@ -126,6 +126,15 @@ class ConstraintConfig:
     # twice per update); PVTOL keeps a separate backup_augmented_term
     # (PVTOL/sac_cbf_clf/sac_cbf_clf.py:62,1033-1034).
     separate_backup_rho: bool = False
+    # Opt-in (lever 10, PARITY.md "Quadrotor"): freeze the augmented-
+    # Lagrangian schedule — multiplier ascent AND rho growth — for the
+    # first N episodes, so the SAC objective can learn goal-reaching
+    # before constraint pressure ratchets (failing quadrotor seeds
+    # saturate lambda_max by ~ep 25 and rho by ~ep 55, extinguishing
+    # goal-seeking before take-off is ever learned). The constraint
+    # loss itself still applies with the frozen lam/rho(=rho_init).
+    # 0 = off (reference semantics; no reference analog).
+    lagrangian_warmup_episodes: int = 0
 
 
 @dataclass(frozen=True)

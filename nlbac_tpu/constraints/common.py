@@ -70,8 +70,19 @@ def grow_rho(cfg: ConstraintConfig, rho):
     return jnp.minimum(rho * cfg.rho_growth, cfg.rho_max)
 
 
+def _maybe_grow_rho(cfg: ConstraintConfig, rho, do_rho_growth):
+    """rho bump, optionally gated (lagrangian_warmup_episodes, lever 10).
+
+    ``do_rho_growth is True`` (the default, every reference preset) keeps
+    the canonical growth op with NO extra select — the unicycle program's
+    StableHLO size is pinned by an op-count regression test."""
+    if do_rho_growth is True:
+        return grow_rho(cfg, rho)
+    return jnp.where(do_rho_growth, grow_rho(cfg, rho), rho)
+
+
 def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
-                 do_lambda_update, batch_size: int
+                 do_lambda_update, batch_size: int, do_rho_growth=True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Primary controller's constraint loss (CBFs + CLF-last).
 
@@ -97,7 +108,7 @@ def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
         ratio = jnp.float32(1.0)
 
     lam_new = ascend_multipliers(cfg, lam, m, rho, do_lambda_update)
-    rho_new = grow_rho(cfg, rho)
+    rho_new = _maybe_grow_rho(cfg, rho, do_rho_growth)
 
     lam_const = jax.lax.stop_gradient(lam_new)
     cbf_part = jnp.sum(lam_const[:-1] * c[:-1]
@@ -108,7 +119,7 @@ def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
 
 
 def backup_loss(cfg: ConstraintConfig, terms: jnp.ndarray, backup_lam, rho,
-                do_lambda_update, batch_size: int
+                do_lambda_update, batch_size: int, do_rho_growth=True
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backup controller's CBF-only constraint loss.
 
@@ -118,7 +129,7 @@ def backup_loss(cfg: ConstraintConfig, terms: jnp.ndarray, backup_lam, rho,
     m = filtered_means(terms, batch_size)  # raw means: ascent (ref parity)
     c = m - cfg.cost_limit  # shifted: loss only
     lam_new = ascend_multipliers(cfg, backup_lam, m, rho, do_lambda_update)
-    rho_new = grow_rho(cfg, rho)
+    rho_new = _maybe_grow_rho(cfg, rho, do_rho_growth)
     lam_const = jax.lax.stop_gradient(lam_new)
     loss = jnp.sum(lam_const * c + 0.5 * rho_new * jnp.square(c))
     return loss, lam_new, rho_new

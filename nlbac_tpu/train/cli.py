@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_max", type=float, default=None,
                    help="cap on the Lagrange multipliers (reference "
                         "hardcodes 400; 300 for CARS)")
+    p.add_argument("--lagrangian_warmup_episodes", type=int, default=None,
+                   help="opt-in (lever 10, quadrotor take-off): freeze "
+                        "multiplier ascent and rho growth for the first "
+                        "N episodes so constraint pressure cannot "
+                        "outpace early policy learning (0=off)")
     p.add_argument("--l_p", type=float, default=None)
     p.add_argument("--Lagrangian_multiplier_update_interval", type=int,
                    default=None)
@@ -165,6 +170,8 @@ def config_from_args(args) -> NLBACConfig:
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,
                        rho_max=args.rho_max, lambda_max=args.lambda_max,
+                       lagrangian_warmup_episodes=(
+                           args.lagrangian_warmup_episodes),
                        lambda_update_interval=(
                            args.Lagrangian_multiplier_update_interval),
                        backup_update_interval=args.backup_update_interval),

@@ -127,6 +127,34 @@ def test_lambda_ascent_interval():
     assert np.all(lam[-1] >= 0.01 - 1e-7)
 
 
+def test_lagrangian_warmup_freezes_schedule():
+    """Lever 10 (ConstraintConfig.lagrangian_warmup_episodes): multiplier
+    ascent AND rho growth are frozen while i_episode < N, and the
+    reference schedule (UNI's shared-rho double bump) resumes exactly at
+    episode N; the policy itself still trains during the warmup."""
+    cfg = tiny("unicycle", lagrangian_warmup_episodes=3,
+               lambda_update_interval=1)
+    ts0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    buf = fill_replay(cfg)
+    upd = jax.jit(make_agent(cfg).update)
+    g = cfg.constraint.rho_growth
+
+    ts1, _ = upd(ts0, buf, buf, jax.random.PRNGKey(1), jnp.int32(2))
+    np.testing.assert_array_equal(np.asarray(ts1.lag.rho),
+                                  np.asarray(ts0.lag.rho))
+    np.testing.assert_array_equal(np.asarray(ts1.lag.lam),
+                                  np.asarray(ts0.lag.lam))
+    np.testing.assert_array_equal(np.asarray(ts1.lag.backup_lam),
+                                  np.asarray(ts0.lag.backup_lam))
+    assert _changed(ts0.policy, ts1.policy)
+
+    ts2, _ = upd(ts1, buf, buf, jax.random.PRNGKey(2), jnp.int32(3))
+    np.testing.assert_allclose(float(ts2.lag.rho),
+                               float(ts1.lag.rho) * g * g, rtol=1e-5)
+    assert not np.array_equal(np.asarray(ts2.lag.lam),
+                              np.asarray(ts1.lag.lam))
+
+
 def test_all_networks_train_and_targets_move():
     cfg = tiny("unicycle")
     snaps, m = run_updates(cfg, 2)

@@ -150,6 +150,17 @@ def test_multiplier_cap_flags():
     assert cfg.constraint.lambda_max == 300.0
 
 
+def test_lagrangian_warmup_flag():
+    """--lagrangian_warmup_episodes plumbs to ConstraintConfig; absent
+    flag keeps the reference semantics (0 = off)."""
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--lagrangian_warmup_episodes", "60"])
+    assert config_from_args(args).constraint.lagrangian_warmup_episodes == 60
+    cfg = config_from_args(
+        build_parser().parse_args(["--preset", "quadrotor"]))
+    assert cfg.constraint.lagrangian_warmup_episodes == 0
+
+
 def test_env_name_flag_maps_to_preset():
     args = build_parser().parse_args(["--env-name", "SimulatedCars"])
     cfg = config_from_args(args)
