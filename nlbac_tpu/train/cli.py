@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_max", type=float, default=None,
                    help="cap on the Lagrange multipliers (reference "
                         "hardcodes 400; 300 for CARS)")
+    p.add_argument("--rho_growth", type=float, default=None,
+                   help="per-bump multiplicative growth of the "
+                        "augmented-Lagrangian coefficient rho (reference "
+                        "hardcodes 1.0005, sac_cbf_clf.py:523; bumped on "
+                        "every loss evaluation). Lowering it slows the "
+                        "ratchet whose climb past rho~30 is the measured "
+                        "quadrotor goal-retention killer (PARITY.md r6)")
     p.add_argument("--lagrangian_warmup_episodes", type=int, default=None,
                    help="opt-in (lever 10, quadrotor take-off): freeze "
                         "multiplier ascent and rho growth for the first "
@@ -170,6 +177,7 @@ def config_from_args(args) -> NLBACConfig:
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,
                        rho_max=args.rho_max, lambda_max=args.lambda_max,
+                       rho_growth=args.rho_growth,
                        lagrangian_warmup_episodes=(
                            args.lagrangian_warmup_episodes),
                        lambda_update_interval=(

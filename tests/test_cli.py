@@ -150,6 +150,16 @@ def test_multiplier_cap_flags():
     assert cfg.constraint.lambda_max == 300.0
 
 
+def test_rho_growth_flag():
+    """--rho_growth overrides the per-bump ratchet rate; absent flag
+    keeps the reference's hardcoded 1.0005 (sac_cbf_clf.py:523)."""
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--rho_growth", "1.0001"])
+    assert config_from_args(args).constraint.rho_growth == 1.0001
+    cfg = config_from_args(build_parser().parse_args(["--preset", "quadrotor"]))
+    assert cfg.constraint.rho_growth == 1.0005
+
+
 def test_lagrangian_warmup_flag():
     """--lagrangian_warmup_episodes plumbs to ConstraintConfig; absent
     flag keeps the reference semantics (0 = off)."""
