@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backup_update_interval", type=int, default=None)
     # NODE
     p.add_argument("--NODE_model_update_interval", type=int, default=None)
+    p.add_argument("--NODE_fit_episode_limit", type=int, default=None,
+                   help="fit the NODE dynamics model only while "
+                        "episode <= N (PVTOL reference recipe: 100; the "
+                        "quadrotor preset also ships 100 — see PARITY.md "
+                        "'Quadrotor: NODE-fit gate'). Pass a value "
+                        ">= max_episodes to keep fitting for the whole "
+                        "run; presets keep their gate when absent")
     p.add_argument("--node_solver", default=None,
                    choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
     p.add_argument("--replay_size", type=int, default=None)
@@ -185,6 +192,7 @@ def config_from_args(args) -> NLBACConfig:
                        backup_update_interval=args.backup_update_interval),
         node=rep(cfg.node,
                  update_interval=args.NODE_model_update_interval,
+                 fit_episode_limit=args.NODE_fit_episode_limit,
                  solver=args.node_solver),
         run=rep(cfg.run, seed=args.seed,
                 max_episodes=args.max_episodes, output=args.output,

@@ -150,6 +150,18 @@ def test_multiplier_cap_flags():
     assert cfg.constraint.lambda_max == 300.0
 
 
+def test_node_fit_episode_limit_flag():
+    """--NODE_fit_episode_limit overrides the fit gate; absent flag keeps
+    the preset's gate (quadrotor/pvtol ship 100, unicycle None)."""
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--NODE_fit_episode_limit", "210"])
+    assert config_from_args(args).node.fit_episode_limit == 210
+    assert config_from_args(build_parser().parse_args(
+        ["--preset", "quadrotor"])).node.fit_episode_limit == 100
+    assert config_from_args(build_parser().parse_args(
+        ["--preset", "unicycle"])).node.fit_episode_limit is None
+
+
 def test_rho_growth_flag():
     """--rho_growth overrides the per-bump ratchet rate; absent flag
     keeps the reference's hardcoded 1.0005 (sac_cbf_clf.py:523)."""
