@@ -31,7 +31,12 @@ def summarize_run(run_dir: str) -> str | None:
     hits = glob.glob(os.path.join(run_dir, "**", "progress.txt"), recursive=True)
     if not hits:
         return None
-    col = load_progress(hits[0])
+    try:
+        col = load_progress(hits[0])
+    except (ValueError, IndexError):
+        return "in progress (no episodes logged yet)"
+    if "Episode" not in col or len(col["Episode"]) == 0:
+        return "in progress (no episodes logged yet)"
     cfg_path = os.path.join(os.path.dirname(hits[0]), "config.json")
     curr_end = 0
     if os.path.exists(cfg_path):
