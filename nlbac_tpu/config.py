@@ -157,6 +157,13 @@ class EnvConfig:
     # the standard start over this many episodes. 0 = off (standard
     # reset; every preset default). See envs/quadrotor.py.
     spawn_curriculum_episodes: int = 0
+    # Curriculum mode (quadrotor, requires spawn_curriculum_episodes>0):
+    # "anneal" pins spawns to the ground start once the anneal completes;
+    # "mix" (lever 12) switches to a stationary mixed-height distribution
+    # instead (every 3rd episode an exact ground start, the rest
+    # alpha ~ Uniform(0.15, 1)) — permanent rehearsal of all heights.
+    # See envs/quadrotor.py reset_curriculum.
+    spawn_curriculum_mode: str = "anneal"
     # Opt-in terminal crash penalty (envs whose step() accepts it;
     # currently quadrotor only): subtract this from the reward on a
     # kill-box termination. 0 = off (every preset default). Removes the

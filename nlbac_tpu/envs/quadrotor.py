@@ -99,10 +99,19 @@ def reset(key, max_episode_steps: int = SPEC.max_episode_steps
 # 0.2 goal radius) and the agent must actually fly to collect the +250.
 CURRICULUM_ALPHA_MIN = 0.15
 CURRICULUM_JITTER = 0.05
+# Mix mode (lever 12, PARITY.md "Quadrotor"): after the anneal completes,
+# every MIX_GROUND_INTERVAL-th episode is an EXACT ground start (alpha=1,
+# bit-identical to the anneal's endpoint) and the rest draw a fresh
+# alpha ~ Uniform(ALPHA_MIN, 1) per episode — permanent rehearsal of all
+# spawn heights. The exact-ground cadence is deterministic in the episode
+# index so analyzers can score ground-start retention from progress.txt
+# alone (scripts/quad_goal_windows.py).
+MIX_GROUND_INTERVAL = 3
 
 
 def reset_curriculum(key, i_episode, curriculum_episodes: int,
-                     max_episode_steps: int = SPEC.max_episode_steps
+                     max_episode_steps: int = SPEC.max_episode_steps,
+                     mode: str = "anneal"
                      ) -> Tuple[QuadrotorState, jnp.ndarray]:
     """Curriculum reset (opt-in via EnvConfig.spawn_curriculum_episodes).
 
@@ -116,10 +125,32 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
     this is bit-identical to ``reset`` (alpha clips to 1, jitter scales
     to 0). No reference analog (the quadrotor submodule is empty);
     default-off so the shipped preset's measured behavior is unchanged.
+
+    ``mode`` (static, baked into the compiled program):
+      - "anneal" (default): the behavior above, spawns pinned to the
+        ground start once the anneal completes.
+      - "mix" (lever 12): identical during the anneal (the alpha-draw
+        key is ``fold_in(key, 1)``, so the jitter stream and hence the
+        anneal-phase spawns are bit-identical to "anneal" mode); after
+        it, a STATIONARY distribution over spawn heights — every
+        ``MIX_GROUND_INTERVAL``-th episode an exact ground start, the
+        rest alpha ~ Uniform(ALPHA_MIN, 1). Motivated by the lever-11
+        finding that the policy forgets heights it no longer rehearses
+        (PARITY.md): an anneal that ends is a moving target terminating
+        at the hardest task.
     """
     alpha = jnp.clip(i_episode.astype(jnp.float32)
                      / jnp.float32(curriculum_episodes),
                      CURRICULUM_ALPHA_MIN, 1.0)
+    if mode == "mix":
+        u = jax.random.uniform(jax.random.fold_in(key, 1), (),
+                               minval=CURRICULUM_ALPHA_MIN, maxval=1.0)
+        ground = (i_episode % MIX_GROUND_INTERVAL) == 0
+        mix_alpha = jnp.where(ground, jnp.float32(1.0), u)
+        alpha = jnp.where(i_episode < curriculum_episodes, alpha, mix_alpha)
+    elif mode != "anneal":
+        raise ValueError(f"unknown spawn curriculum mode {mode!r} "
+                         "(anneal | mix)")
     init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
     pos = GOAL + alpha * (init_pos - GOAL)
     # The straight goal->init segment passes through the OBSTACLE at

@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in reverse spawn curriculum (quadrotor): "
                         "anneal the spawn from near-goal back to the "
                         "standard start over this many episodes (0=off)")
+    p.add_argument("--spawn_curriculum_mode", default=None,
+                   choices=["anneal", "mix"],
+                   help="what happens after the spawn anneal completes "
+                        "(quadrotor, requires --spawn_curriculum_episodes"
+                        ">0): 'anneal' pins spawns to the ground start; "
+                        "'mix' (lever 12) keeps a stationary mixed-height "
+                        "distribution — every 3rd episode an exact ground "
+                        "start, the rest alpha~Uniform(0.15,1)")
     p.add_argument("--kill_penalty", type=float, default=None,
                    help="terminal crash penalty (quadrotor only): "
                         "subtract this from the reward on a kill-box "
@@ -180,6 +188,7 @@ def config_from_args(args) -> NLBACConfig:
                 target_entropy=args.target_entropy),
         env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
                 spawn_curriculum_episodes=args.spawn_curriculum_episodes,
+                spawn_curriculum_mode=args.spawn_curriculum_mode,
                 kill_penalty=args.kill_penalty),
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,

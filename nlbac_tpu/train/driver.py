@@ -102,6 +102,20 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
         raise ValueError(
             f"spawn_curriculum_episodes={curriculum_eps} but env "
             f"{cfg.env.name!r} has no reset_curriculum (quadrotor only)")
+    curriculum_mode = getattr(cfg.env, "spawn_curriculum_mode", "anneal")
+    if curriculum_mode not in ("anneal", "mix"):
+        raise ValueError(
+            f"spawn_curriculum_mode={curriculum_mode!r} (anneal | mix)")
+    if curriculum_mode != "anneal" and not use_curriculum:
+        raise ValueError(
+            f"spawn_curriculum_mode={curriculum_mode!r} requires "
+            "spawn_curriculum_episodes > 0 (the mode only changes what "
+            "happens after the anneal window)")
+    # Passed only when non-default, mirroring the kill_penalty pattern:
+    # the default program stays byte-identical and envs whose
+    # reset_curriculum lacks the kwarg are untouched.
+    curriculum_kwargs = (
+        {"mode": curriculum_mode} if curriculum_mode != "anneal" else {})
 
     # Opt-in extra step kwargs (static, baked into the compiled program).
     # Only passed when set, so envs whose step() lacks the kwarg are
@@ -134,7 +148,7 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
         if use_curriculum:
             env_state, obs0 = env.reset_curriculum(
                 krst, i_episode, curriculum_eps,
-                max_episode_steps=max_steps)
+                max_episode_steps=max_steps, **curriculum_kwargs)
         else:
             env_state, obs0 = env.reset(krst, max_episode_steps=max_steps)
         start_backup = i_episode >= cfg.supervisor.enable_after_episodes

@@ -153,6 +153,86 @@ def test_curriculum_reset_anneals_to_standard():
                                       np.asarray(quad.INIT_STATE))
 
 
+def test_curriculum_mix_mode():
+    """mode='mix' (lever 12): bit-identical to 'anneal' during the anneal
+    window; afterwards every MIX_GROUND_INTERVAL-th episode is an exact
+    ground start and the rest redraw alpha ~ Uniform(0.15, 1) per episode
+    (stationary mixed-height rehearsal — PARITY.md 'Quadrotor')."""
+    E = 120
+    d_init = np.linalg.norm(np.asarray(quad.INIT_STATE)[[0, 2]]
+                            - np.asarray(quad.GOAL))
+    # anneal window: mix is bit-identical to anneal (same key)
+    for ep in (0, 17, E - 1):
+        key = jax.random.PRNGKey(ep)
+        _, obs_a = quad.reset_curriculum(key, jnp.int32(ep), E)
+        _, obs_m = quad.reset_curriculum(key, jnp.int32(ep), E, mode="mix")
+        np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_m))
+    # post-anneal: exact ground starts on the deterministic cadence
+    k = quad.MIX_GROUND_INTERVAL
+    for ep in (E + 2 * k, E + 5 * k, 2 * E):
+        assert ep % k == 0
+        _, obs = quad.reset_curriculum(jax.random.PRNGKey(ep),
+                                       jnp.int32(ep), E, mode="mix")
+        np.testing.assert_array_equal(np.asarray(obs),
+                                      np.asarray(quad.INIT_STATE))
+    # post-anneal off-cadence: fresh elevated spawns, varying with the
+    # key, always strictly easier than (or equal-height to) the ground
+    # start and inside the safe box / clear of the obstacle
+    dists = []
+    for seed in range(6):
+        ep = E + 3 * quad.MIX_GROUND_INTERVAL + 1  # off-cadence
+        _, obs = quad.reset_curriculum(jax.random.PRNGKey(seed),
+                                       jnp.int32(ep), E, mode="mix")
+        x, z = float(obs[0]), float(obs[2])
+        assert quad.X_RANGE[0] < x < quad.X_RANGE[1]
+        assert quad.Z_RANGE[0] < z < quad.Z_RANGE[1]
+        d_obs = np.linalg.norm([x - float(quad.OBSTACLE[0]),
+                                z - float(quad.OBSTACLE[1])])
+        assert d_obs > quad.OBSTACLE_RADIUS
+        d = np.linalg.norm(np.asarray(obs)[[0, 2]] - np.asarray(quad.GOAL))
+        assert quad.GOAL_SIZE < d <= d_init + 2 * quad.CURRICULUM_JITTER
+        dists.append(d)
+    assert np.std(dists) > 0.05  # the per-episode redraw actually varies
+    # stationarity: the distribution depends on the key/cadence only,
+    # not on how far past the anneal the episode index sits
+    key = jax.random.PRNGKey(9)
+    _, o1 = quad.reset_curriculum(key, jnp.int32(E + 1), E, mode="mix")
+    _, o2 = quad.reset_curriculum(key, jnp.int32(E + 1 + 30 * k), E,
+                                  mode="mix")
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_curriculum_mix_mode_wiring():
+    """--spawn_curriculum_mode plumbs CLI -> EnvConfig -> driver; presets
+    default to 'anneal'; the driver rejects mix without a curriculum
+    window and unknown modes at runner-build time."""
+    import pytest
+
+    from nlbac_tpu.config import PRESETS
+    from nlbac_tpu.train.cli import build_parser, config_from_args
+
+    for name in PRESETS:
+        assert get_config(name).env.spawn_curriculum_mode == "anneal"
+
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--spawn_curriculum_episodes", "120",
+         "--spawn_curriculum_mode", "mix"])
+    cfg = config_from_args(args)
+    assert cfg.env.spawn_curriculum_mode == "mix"
+    assert cfg.env.spawn_curriculum_episodes == 120
+
+    base = get_config("quadrotor")
+    cfg = dataclasses.replace(
+        base, env=dataclasses.replace(base.env, spawn_curriculum_mode="mix"))
+    with pytest.raises(ValueError, match="spawn_curriculum_episodes"):
+        make_episode_runner(cfg)
+    cfg = dataclasses.replace(
+        base, env=dataclasses.replace(base.env, spawn_curriculum_episodes=50,
+                                      spawn_curriculum_mode="typo"))
+    with pytest.raises(ValueError, match="spawn_curriculum_mode"):
+        make_episode_runner(cfg)
+
+
 def test_curriculum_spawn_inside_safe_range():
     """Every curriculum spawn lies inside the constraint box and outside
     the obstacle, across the episode sweep and key draws."""
