@@ -38,11 +38,13 @@ def summarize_run(run_dir: str) -> str | None:
     if "Episode" not in col or len(col["Episode"]) == 0:
         return "in progress (no episodes logged yet)"
     cfg_path = os.path.join(os.path.dirname(hits[0]), "config.json")
-    curr_end = 0
+    curr_end, mode = 0, "anneal"
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             cfg = json.load(f)
-        curr_end = (cfg.get("env") or {}).get("spawn_curriculum_episodes", 0) or 0
+        env = cfg.get("env") or {}
+        curr_end = env.get("spawn_curriculum_episodes", 0) or 0
+        mode = env.get("spawn_curriculum_mode", "anneal") or "anneal"
     ep, g = col["Episode"], col["goal_met"]
     rho = col.get("rho")
     n = len(ep)
@@ -54,10 +56,21 @@ def summarize_run(run_dir: str) -> str | None:
         death = f"last goal ep {last:3d} (rho {rho_last:5.1f})"
     else:
         death = "no goals"
-    ground = int(g[ep >= curr_end].sum()) if curr_end else int(g.sum())
+    if mode == "mix" and curr_end:
+        # Mix mode: post-anneal, only every MIX_GROUND_INTERVAL-th episode
+        # is a true ground start (envs/quadrotor.py); score those alone so
+        # retention is comparable across modes. Report the hit RATE too —
+        # the eligible count is ~1/3 of the anneal modes'.
+        sel = (ep >= curr_end) & (ep.astype(int) % 3 == 0)
+        ground = int(g[sel].sum())
+        gdesc = (f"ground-start (ep>={curr_end}, ep%3==0): {ground:3d}"
+                 f"/{int(sel.sum()):3d}")
+    else:
+        ground = int(g[ep >= curr_end].sum()) if curr_end else int(g.sum())
+        gdesc = f"ground-start (ep>={curr_end}): {ground:3d}"
     cost30 = col["cost_train"][-30:].mean()
     return (f"goals/30ep {wins} | total {int(g.sum()):3d} | {death} | "
-            f"ground-start (ep>={curr_end}): {ground:3d} | last30 cost {cost30:6.1f}")
+            f"{gdesc} | last30 cost {cost30:6.1f}")
 
 
 def main(dirs: list[str]) -> None:
