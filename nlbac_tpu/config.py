@@ -164,6 +164,10 @@ class EnvConfig:
     # alpha ~ Uniform(0.15, 1)) — permanent rehearsal of all heights.
     # See envs/quadrotor.py reset_curriculum.
     spawn_curriculum_mode: str = "anneal"
+    # Mix-mode mixture lower bound (lever 13): raise toward 1 to
+    # concentrate post-anneal rehearsal on the hard near-ground band.
+    # Must lie in [0.15, 1); only read when spawn_curriculum_mode="mix".
+    spawn_mix_alpha_min: float = 0.15
     # Opt-in terminal crash penalty (envs whose step() accepts it;
     # currently quadrotor only): subtract this from the reward on a
     # kill-box termination. 0 = off (every preset default). Removes the

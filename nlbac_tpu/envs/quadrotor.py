@@ -111,7 +111,8 @@ MIX_GROUND_INTERVAL = 3
 
 def reset_curriculum(key, i_episode, curriculum_episodes: int,
                      max_episode_steps: int = SPEC.max_episode_steps,
-                     mode: str = "anneal"
+                     mode: str = "anneal",
+                     mix_alpha_min: float = CURRICULUM_ALPHA_MIN
                      ) -> Tuple[QuadrotorState, jnp.ndarray]:
     """Curriculum reset (opt-in via EnvConfig.spawn_curriculum_episodes).
 
@@ -134,17 +135,29 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
         anneal-phase spawns are bit-identical to "anneal" mode); after
         it, a STATIONARY distribution over spawn heights — every
         ``MIX_GROUND_INTERVAL``-th episode an exact ground start, the
-        rest alpha ~ Uniform(ALPHA_MIN, 1). Motivated by the lever-11
-        finding that the policy forgets heights it no longer rehearses
-        (PARITY.md): an anneal that ends is a moving target terminating
-        at the hardest task.
+        rest alpha ~ Uniform(mix_alpha_min, 1). Motivated by the
+        lever-11 finding that the policy forgets heights it no longer
+        rehearses (PARITY.md): an anneal that ends is a moving target
+        terminating at the hardest task.
+
+    ``mix_alpha_min`` (static; mix mode only — lever 13): lower bound
+    of the post-anneal alpha mixture. The default rehearses all
+    heights; raising it (e.g. 0.6) concentrates rehearsal on the hard
+    near-ground band where lever-12 measured the skill decaying under
+    the uniform mixture (~12% of episodes in alpha 0.9-1).
     """
+    if not (CURRICULUM_ALPHA_MIN <= mix_alpha_min < 1.0):
+        raise ValueError(
+            f"mix_alpha_min={mix_alpha_min} must lie in "
+            f"[{CURRICULUM_ALPHA_MIN}, 1): below the floor the spawn "
+            "lands inside the goal ring; at 1 the mixture degenerates "
+            "to ground-only (use mode='anneal' for that)")
     alpha = jnp.clip(i_episode.astype(jnp.float32)
                      / jnp.float32(curriculum_episodes),
                      CURRICULUM_ALPHA_MIN, 1.0)
     if mode == "mix":
         u = jax.random.uniform(jax.random.fold_in(key, 1), (),
-                               minval=CURRICULUM_ALPHA_MIN, maxval=1.0)
+                               minval=mix_alpha_min, maxval=1.0)
         ground = (i_episode % MIX_GROUND_INTERVAL) == 0
         mix_alpha = jnp.where(ground, jnp.float32(1.0), u)
         alpha = jnp.where(i_episode < curriculum_episodes, alpha, mix_alpha)

@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'mix' (lever 12) keeps a stationary mixed-height "
                         "distribution — every 3rd episode an exact ground "
                         "start, the rest alpha~Uniform(0.15,1)")
+    p.add_argument("--spawn_mix_alpha_min", type=float, default=None,
+                   help="mix-mode mixture lower bound in [0.15, 1) "
+                        "(lever 13): raise toward 1 to concentrate "
+                        "post-anneal rehearsal on the hard near-ground "
+                        "band (requires --spawn_curriculum_mode mix)")
     p.add_argument("--kill_penalty", type=float, default=None,
                    help="terminal crash penalty (quadrotor only): "
                         "subtract this from the reward on a kill-box "
@@ -189,6 +194,7 @@ def config_from_args(args) -> NLBACConfig:
         env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
                 spawn_curriculum_episodes=args.spawn_curriculum_episodes,
                 spawn_curriculum_mode=args.spawn_curriculum_mode,
+                spawn_mix_alpha_min=args.spawn_mix_alpha_min,
                 kill_penalty=args.kill_penalty),
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,

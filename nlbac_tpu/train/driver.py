@@ -114,8 +114,18 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     # Passed only when non-default, mirroring the kill_penalty pattern:
     # the default program stays byte-identical and envs whose
     # reset_curriculum lacks the kwarg are untouched.
-    curriculum_kwargs = (
-        {"mode": curriculum_mode} if curriculum_mode != "anneal" else {})
+    curriculum_kwargs = {}
+    if curriculum_mode != "anneal":
+        curriculum_kwargs["mode"] = curriculum_mode
+        mix_alpha_min = getattr(cfg.env, "spawn_mix_alpha_min", 0.15)
+        if mix_alpha_min != 0.15:
+            # Range-checked inside reset_curriculum at trace time.
+            curriculum_kwargs["mix_alpha_min"] = mix_alpha_min
+    elif getattr(cfg.env, "spawn_mix_alpha_min", 0.15) != 0.15:
+        raise ValueError(
+            "spawn_mix_alpha_min is only read when "
+            "spawn_curriculum_mode='mix' — set the mode or drop the flag "
+            "(a silently ignored mixture bound would mislabel a sweep)")
 
     # Opt-in extra step kwargs (static, baked into the compiled program).
     # Only passed when set, so envs whose step() lacks the kwarg are

@@ -202,6 +202,46 @@ def test_curriculum_mix_mode():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
 
+def test_curriculum_mix_alpha_min():
+    """mix_alpha_min (lever 13) narrows the post-anneal mixture to the
+    hard band: off-cadence spawns sit at alpha >= the bound (distance to
+    goal >= bound * d_init minus the jitter margin); the ground cadence
+    and the default bound's behavior are unchanged."""
+    E, bound = 120, 0.8
+    d_init = np.linalg.norm(np.asarray(quad.INIT_STATE)[[0, 2]]
+                            - np.asarray(quad.GOAL))
+    ep = E + 3 * quad.MIX_GROUND_INTERVAL + 1  # off-cadence
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        _, obs = quad.reset_curriculum(key, jnp.int32(ep), E, mode="mix",
+                                       mix_alpha_min=bound)
+        d = np.linalg.norm(np.asarray(obs)[[0, 2]] - np.asarray(quad.GOAL))
+        # alpha >= 0.8; the arc bump (peak 0.45*4*a*(1-a) <= 0.288 at
+        # a=0.8) and jitter (<= 0.05*(1-a)) perturb the straight-line
+        # distance by well under 0.3
+        assert d > bound * d_init - 0.3
+    # ground cadence unaffected by the bound
+    _, obs_g = quad.reset_curriculum(jax.random.PRNGKey(0),
+                                     jnp.int32(E + quad.MIX_GROUND_INTERVAL
+                                               * 2), E,
+                                     mode="mix", mix_alpha_min=bound)
+    np.testing.assert_array_equal(np.asarray(obs_g),
+                                  np.asarray(quad.INIT_STATE))
+    # explicit default bound is bit-identical to omitting it
+    key = jax.random.PRNGKey(4)
+    _, o1 = quad.reset_curriculum(key, jnp.int32(ep), E, mode="mix")
+    _, o2 = quad.reset_curriculum(key, jnp.int32(ep), E, mode="mix",
+                                  mix_alpha_min=quad.CURRICULUM_ALPHA_MIN)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    # out-of-range bounds rejected at trace time
+    import pytest
+
+    for bad in (0.05, 1.0):
+        with pytest.raises(ValueError, match="mix_alpha_min"):
+            quad.reset_curriculum(key, jnp.int32(ep), E, mode="mix",
+                                  mix_alpha_min=bad)
+
+
 def test_curriculum_mix_mode_wiring():
     """--spawn_curriculum_mode plumbs CLI -> EnvConfig -> driver; presets
     default to 'anneal'; the driver rejects mix without a curriculum
@@ -230,6 +270,17 @@ def test_curriculum_mix_mode_wiring():
         base, env=dataclasses.replace(base.env, spawn_curriculum_episodes=50,
                                       spawn_curriculum_mode="typo"))
     with pytest.raises(ValueError, match="spawn_curriculum_mode"):
+        make_episode_runner(cfg)
+
+    # --spawn_mix_alpha_min plumbs through; rejected when mode != mix
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--spawn_curriculum_episodes", "120",
+         "--spawn_curriculum_mode", "mix", "--spawn_mix_alpha_min", "0.6"])
+    assert config_from_args(args).env.spawn_mix_alpha_min == 0.6
+    cfg = dataclasses.replace(
+        base, env=dataclasses.replace(base.env, spawn_curriculum_episodes=50,
+                                      spawn_mix_alpha_min=0.6))
+    with pytest.raises(ValueError, match="spawn_mix_alpha_min"):
         make_episode_runner(cfg)
 
 
