@@ -173,6 +173,12 @@ class EnvConfig:
     # kill-box termination. 0 = off (every preset default). Removes the
     # dive-into-the-ground local optimum — see envs/quadrotor.py step().
     kill_penalty: float = 0.0
+    # Opt-in attitude-kill termination in radians (quadrotor only):
+    # terminate (and apply kill_penalty) when |theta| exceeds this. 0 =
+    # off (every preset default). The real safe-control-gym terminates
+    # on attitude; without it the learned behavior family is ballistic
+    # tumble-throws (PARITY.md r7). See envs/quadrotor.py step().
+    kill_attitude: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -194,7 +194,8 @@ def dynamics(x, u):
 def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
          barrier_b: float = 0.0,
          max_episode_steps: int = SPEC.max_episode_steps,
-         kill_penalty: float = 0.0
+         kill_penalty: float = 0.0,
+         kill_attitude: float = 0.0
          ) -> Tuple[QuadrotorState, StepOut]:
     del barrier_B, barrier_b  # this env defines its own barrier signals
     f32 = jnp.float32
@@ -212,6 +213,19 @@ def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
     killed = jnp.logical_or(
         jnp.abs(x_new[0]) > KILL_X,
         jnp.logical_or(x_new[2] < KILL_Z[0], x_new[2] > KILL_Z[1]))
+    if kill_attitude:
+        # Opt-in attitude termination (EnvConfig.kill_attitude, radians;
+        # 0 = off, every preset default). The real safe-control-gym
+        # terminates on attitude as well as position; without it nothing
+        # opposes attitude divergence (reward is -distance, kill box is
+        # x/z only, barrier signals ignore theta) and the learned
+        # behavior family is ballistic tumble-throws — omega 8-11 rad/s,
+        # theta past 3.5 rad — which fail exactly at the ground start
+        # (PARITY.md r7 "Ground-start failure diagnosed spatially").
+        # Combined with kill_penalty, every tumble onset becomes an
+        # immediate terminal penalty.
+        killed = jnp.logical_or(killed,
+                                jnp.abs(x_new[4]) > kill_attitude)
     # Opt-in crash penalty (EnvConfig.kill_penalty, default 0 = off).
     # Without it, diving into the kill box is a strong local optimum:
     # the reward is -dist every step, so a 34-step crash (total ~ -65)

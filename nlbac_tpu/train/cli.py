@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "subtract this from the reward on a kill-box "
                         "termination. The quadrotor preset ships 250 "
                         "(measured best, PARITY.md); pass 0 to disable")
+    p.add_argument("--kill_attitude", type=float, default=None,
+                   help="attitude-kill termination in radians (quadrotor "
+                        "only): terminate (and apply kill_penalty) when "
+                        "|theta| exceeds this, like the real "
+                        "safe-control-gym. 0 = off (every preset default)")
     p.add_argument("--target_entropy", type=float, default=None,
                    help="override the SAC target entropy for both "
                         "temperature updates. Reference presets default "
@@ -195,7 +200,8 @@ def config_from_args(args) -> NLBACConfig:
                 spawn_curriculum_episodes=args.spawn_curriculum_episodes,
                 spawn_curriculum_mode=args.spawn_curriculum_mode,
                 spawn_mix_alpha_min=args.spawn_mix_alpha_min,
-                kill_penalty=args.kill_penalty),
+                kill_penalty=args.kill_penalty,
+                kill_attitude=args.kill_attitude),
         constraint=rep(cfg.constraint, gamma_b=args.gamma_b,
                        gamma_l=args.gamma_l, lookahead=args.l_p,
                        rho_max=args.rho_max, lambda_max=args.lambda_max,

@@ -140,6 +140,15 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
                 f"kill_penalty={kill_penalty} but env {cfg.env.name!r} "
                 f"step() does not accept it (quadrotor only)")
         step_kwargs["kill_penalty"] = kill_penalty
+    kill_attitude = getattr(cfg.env, "kill_attitude", 0.0)
+    if kill_attitude:
+        import inspect
+
+        if "kill_attitude" not in inspect.signature(env.step).parameters:
+            raise ValueError(
+                f"kill_attitude={kill_attitude} but env {cfg.env.name!r} "
+                f"step() does not accept it (quadrotor only)")
+        step_kwargs["kill_attitude"] = kill_attitude
 
     if cfg.supervisor.kind != "none" and not ccfg.use_backup:
         # The supervisor would raise use_backup=True at runtime but

@@ -242,6 +242,60 @@ def test_curriculum_mix_alpha_min():
                                   mix_alpha_min=bad)
 
 
+def test_kill_attitude_terminates_tumble():
+    """kill_attitude (lever 15): a saturated-differential-thrust tumble
+    terminates the moment |theta| exceeds the limit (and collects
+    kill_penalty there), long before the x/z kill box; 0 leaves the
+    step bit-identical; presets all default to 0."""
+    from nlbac_tpu.config import PRESETS
+
+    for name in PRESETS:
+        assert get_config(name).env.kill_attitude == 0.0
+
+    st, _ = quad.reset(jax.random.PRNGKey(0))
+    # max differential torque: min thrust on motor 1, max on motor 2
+    a_spin = jnp.array([quad.SPEC.action_low[0], quad.SPEC.action_high[1]],
+                       jnp.float32)
+    limit = float(jnp.pi / 2)
+    st0 = st1 = st
+    done_at = None
+    for i in range(200):
+        st0, out0 = quad.step(st0, a_spin)
+        st1, out1 = quad.step(st1, a_spin, kill_attitude=limit,
+                              kill_penalty=250.0)
+        if done_at is None and bool(out1.done):
+            done_at = i
+            assert abs(float(st1.x[4])) > limit
+            # terminal step collects the kill penalty
+            np.testing.assert_allclose(float(out1.reward),
+                                       float(out0.reward) - 250.0)
+            break
+        # before the attitude limit the augmented step is bit-identical
+        np.testing.assert_array_equal(np.asarray(out0.obs),
+                                      np.asarray(out1.obs))
+        np.testing.assert_array_equal(float(out0.reward),
+                                      float(out1.reward))
+        assert not bool(out0.done)
+    assert done_at is not None, "spin must trip the attitude kill"
+    assert done_at < 40  # tumble onset is fast (PARITY diagnosis: <20)
+
+    # driver wiring: rejected for envs whose step lacks the kwarg
+    import pytest
+
+    cfg = get_config("unicycle")
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, kill_attitude=1.0))
+    with pytest.raises(ValueError, match="kill_attitude"):
+        make_episode_runner(cfg)
+
+    # CLI plumbs through
+    from nlbac_tpu.train.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--kill_attitude", "1.57"])
+    assert config_from_args(args).env.kill_attitude == 1.57
+
+
 def test_curriculum_mix_mode_wiring():
     """--spawn_curriculum_mode plumbs CLI -> EnvConfig -> driver; presets
     default to 'anneal'; the driver rejects mix without a curriculum
