@@ -38,6 +38,7 @@ from nlbac_tpu.envs import get_env
 from nlbac_tpu.nn import (
     ActionSpec,
     barrier_apply,
+    gaussian_policy_forward,
     gaussian_policy_sample,
     lyapunov_apply,
     make_field,
@@ -85,6 +86,12 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
     is_nbc = ccfg.kind == "learned_barrier"
     is_gaussian = scfg.policy_type != "deterministic"
     entropy_tuning = scfg.automatic_entropy_tuning and is_gaussian
+    pretanh_reg = float(getattr(scfg, "pretanh_reg", 0.0))
+    if pretanh_reg and not is_gaussian:
+        raise ValueError(
+            f"pretanh_reg={pretanh_reg} requires the Gaussian policy "
+            "(the deterministic head has no pre-tanh Gaussian mean to "
+            "regularize)")
 
     if is_gaussian:
         def sample_fn(params, obs_b, key):
@@ -319,7 +326,18 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
             loss2, lam_new, rho1 = lag_primary_loss(
                 ccfg, terms, ts.lag.lam, ts.lag.rho, do_lam,
                 scfg.batch_size, do_rho_growth=lag_live)
-            return loss1 + loss2, (logp, lam_new, rho1, loss1, loss2)
+            loss = loss1 + loss2
+            if pretanh_reg:
+                # Lever 16 (SacConfig.pretanh_reg): the original SAC
+                # codebase's pre-activation regularizer. Keeps the
+                # Gaussian mean out of the tanh-saturation corners where
+                # the policy gradient vanishes (measured quadrotor
+                # ground-start trap, PARITY.md r7). Static 0 by default:
+                # every reference preset's program stays byte-identical
+                # (XLA CSEs the extra trunk forward with sample_fn's).
+                mu, _ = gaussian_policy_forward(p, obs)
+                loss = loss + pretanh_reg * jnp.mean(jnp.square(mu))
+            return loss, (logp, lam_new, rho1, loss1, loss2)
 
         (_, (logp, lam_new, rho1, policy_loss_1, policy_loss_2)), pgrads = \
             jax.value_and_grad(policy_loss_fn, has_aux=True)(ts.policy)

@@ -89,6 +89,14 @@ class SacConfig:
     # Override to recalibrate (e.g. -dim(A) + sum(log scale) keeps the
     # reference's concentration target in the UNIT tanh space).
     target_entropy: float | None = None
+    # Pre-tanh mean regularizer (lever 16): add this * mean(pre-tanh
+    # mean^2) to the policy loss (the original SAC codebase's policy
+    # regularization). 0 = off (every preset default). Targets the
+    # measured quadrotor ground-start tanh-saturation trap (PARITY.md
+    # r7): |pre-tanh mean| drifts to 2-6 at the ground state, tanh'
+    # collapses to ~5e-5, and no later penalty signal can move the
+    # policy there. Gaussian policy only.
+    pretanh_reg: float = 0.0
 
 
 @dataclass(frozen=True)

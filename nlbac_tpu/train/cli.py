@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "only): terminate (and apply kill_penalty) when "
                         "|theta| exceeds this, like the real "
                         "safe-control-gym. 0 = off (every preset default)")
+    p.add_argument("--pretanh_reg", type=float, default=None,
+                   help="pre-tanh mean regularizer coefficient on the "
+                        "policy loss (the original SAC codebase's policy "
+                        "regularization; Gaussian policy only). Targets "
+                        "tanh-saturation traps (PARITY.md r7 quadrotor "
+                        "ground start). 0 = off (every preset default)")
     p.add_argument("--target_entropy", type=float, default=None,
                    help="override the SAC target entropy for both "
                         "temperature updates. Reference presets default "
@@ -195,7 +201,8 @@ def config_from_args(args) -> NLBACConfig:
                 start_steps=args.start_steps,
                 target_update_interval=args.target_update_interval,
                 automatic_entropy_tuning=args.automatic_entropy_tuning,
-                target_entropy=args.target_entropy),
+                target_entropy=args.target_entropy,
+                pretanh_reg=args.pretanh_reg),
         env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
                 spawn_curriculum_episodes=args.spawn_curriculum_episodes,
                 spawn_curriculum_mode=args.spawn_curriculum_mode,

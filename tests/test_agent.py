@@ -369,3 +369,65 @@ def test_alpha_init_validated_for_gaussian():
         cfg, sac=dataclasses.replace(cfg.sac, alpha_init=-0.2))
     with pytest.raises(ValueError, match="alpha_init"):
         create_train_state(bad, jax.random.PRNGKey(0))
+
+
+def test_pretanh_reg_shrinks_saturated_mean():
+    """SacConfig.pretanh_reg (lever 16, the original SAC pre-activation
+    regularizer): 0 leaves the update bit-identical to before the flag
+    existed; a positive coefficient produces different policy grads and
+    drives a saturated pre-tanh mean DOWN where the unregularized update
+    leaves it pinned (the measured quadrotor ground-start trap,
+    PARITY.md r7). Deterministic policy rejects it at build time."""
+    cfg0 = tiny("unicycle")
+    snaps0, _ = run_updates(cfg0, 3)
+    cfg_r = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac, pretanh_reg=10.0))
+    snaps_r, m = run_updates(cfg_r, 3)
+    assert _changed(snaps0[-1].policy, snaps_r[-1].policy)
+    for k in ("qf1_loss", "qf2_loss"):  # critic path untouched
+        assert np.isfinite(float(m[k]))
+
+    # Inward-pull semantics. Adam's first bias-corrected step is exactly
+    # -lr * sign(grad) per parameter, so with a dominating coefficient
+    # (1e3 * mu ~ 6e3 vs the ~1e-5 tanh-saturated task gradients) ONE
+    # update must move the mean-head bias toward zero by ~policy_lr from
+    # BOTH inflation signs — the property that unsticks a saturated
+    # corner. (Long-horizon separation is NOT testable through Adam: it
+    # normalizes magnitudes, so reg-on/off converge at the same +/-lr
+    # speed limit per step and only the direction differs.)
+    buf = fill_replay(cfg0)
+    cfg_big = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac, pretanh_reg=1e3))
+    lr = cfg0.sac.policy_lr
+
+    def bias_after_one(cfg, inflation):
+        ts = create_train_state(cfg, jax.random.PRNGKey(0))
+        pol = jax.tree.map(lambda x: x, ts.policy)
+        pol["mean"]["b"][0] = pol["mean"]["b"][0] + inflation
+        ts = ts._replace(policy=pol)
+        ts, _ = jax.jit(make_agent(cfg).update)(
+            ts, buf, buf, jax.random.PRNGKey(7), jnp.int32(0))
+        return np.asarray(ts.policy["mean"]["b"][0])
+
+    for inflation in (6.0, -6.0):
+        b = bias_after_one(cfg_big, inflation)
+        # moved toward zero by ~lr on every element
+        np.testing.assert_allclose(b, inflation - np.sign(inflation) * lr,
+                                   atol=lr * 0.2)
+
+    det = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac, policy_type="deterministic",
+                                      automatic_entropy_tuning=False,
+                                      pretanh_reg=1.0))
+    with pytest.raises(ValueError, match="pretanh_reg"):
+        make_agent(det)
+
+    # CLI plumbs through; presets default 0
+    from nlbac_tpu.config import PRESETS
+    from nlbac_tpu.train.cli import build_parser, config_from_args
+
+    for name in PRESETS:
+        assert get_config(name).sac.pretanh_reg == 0.0
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--pretanh_reg", "0.001"])
+    assert config_from_args(args).sac.pretanh_reg == 0.001
