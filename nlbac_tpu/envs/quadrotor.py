@@ -155,15 +155,27 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
     alpha = jnp.clip(i_episode.astype(jnp.float32)
                      / jnp.float32(curriculum_episodes),
                      CURRICULUM_ALPHA_MIN, 1.0)
-    if mode == "mix":
+    if mode in ("mix", "mix_early"):
         u = jax.random.uniform(jax.random.fold_in(key, 1), (),
                                minval=mix_alpha_min, maxval=1.0)
         ground = (i_episode % MIX_GROUND_INTERVAL) == 0
-        mix_alpha = jnp.where(ground, jnp.float32(1.0), u)
-        alpha = jnp.where(i_episode < curriculum_episodes, alpha, mix_alpha)
+        post = i_episode >= curriculum_episodes
+        if mode == "mix":
+            mix_alpha = jnp.where(ground, jnp.float32(1.0), u)
+            alpha = jnp.where(post, mix_alpha, alpha)
+        else:
+            # mix_early (lever 17): the ground cadence runs from
+            # EPISODE 0, so the random-warmup / high-entropy phase sees
+            # ground states too (the plain curriculum removes them from
+            # start_steps entirely — yet the one seed with organic
+            # ground take-off acquired it exactly from early random
+            # exploration, PARITY.md). Off-cadence episodes follow the
+            # anneal, then the stationary uniform mixture.
+            alpha = jnp.where(ground, jnp.float32(1.0),
+                              jnp.where(post, u, alpha))
     elif mode != "anneal":
         raise ValueError(f"unknown spawn curriculum mode {mode!r} "
-                         "(anneal | mix)")
+                         "(anneal | mix | mix_early)")
     init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
     pos = GOAL + alpha * (init_pos - GOAL)
     # The straight goal->init segment passes through the OBSTACLE at

@@ -83,13 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "anneal the spawn from near-goal back to the "
                         "standard start over this many episodes (0=off)")
     p.add_argument("--spawn_curriculum_mode", default=None,
-                   choices=["anneal", "mix"],
+                   choices=["anneal", "mix", "mix_early"],
                    help="what happens after the spawn anneal completes "
                         "(quadrotor, requires --spawn_curriculum_episodes"
                         ">0): 'anneal' pins spawns to the ground start; "
                         "'mix' (lever 12) keeps a stationary mixed-height "
                         "distribution — every 3rd episode an exact ground "
-                        "start, the rest alpha~Uniform(0.15,1)")
+                        "start, the rest alpha~Uniform(0.15,1); 'mix_early' additionally runs the ground cadence from episode 0 (lever 17)")
     p.add_argument("--spawn_mix_alpha_min", type=float, default=None,
                    help="mix-mode mixture lower bound in [0.15, 1) "
                         "(lever 13): raise toward 1 to concentrate "

@@ -103,9 +103,10 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
             f"spawn_curriculum_episodes={curriculum_eps} but env "
             f"{cfg.env.name!r} has no reset_curriculum (quadrotor only)")
     curriculum_mode = getattr(cfg.env, "spawn_curriculum_mode", "anneal")
-    if curriculum_mode not in ("anneal", "mix"):
+    if curriculum_mode not in ("anneal", "mix", "mix_early"):
         raise ValueError(
-            f"spawn_curriculum_mode={curriculum_mode!r} (anneal | mix)")
+            f"spawn_curriculum_mode={curriculum_mode!r} "
+            "(anneal | mix | mix_early)")
     if curriculum_mode != "anneal" and not use_curriculum:
         raise ValueError(
             f"spawn_curriculum_mode={curriculum_mode!r} requires "

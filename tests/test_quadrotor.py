@@ -202,6 +202,36 @@ def test_curriculum_mix_mode():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
 
+def test_curriculum_mix_early_mode():
+    """mode='mix_early' (lever 17): the exact-ground cadence runs from
+    EPISODE 0 (so random warmup sees ground states); off-cadence
+    episodes are bit-identical to the anneal during the window and to
+    mix's uniform mixture after it."""
+    E, k = 120, quad.MIX_GROUND_INTERVAL
+    # cadence episodes are exact ground starts from the very beginning
+    for ep in (0, k, 2 * k, E + k):
+        key = jax.random.PRNGKey(ep)
+        _, obs = quad.reset_curriculum(key, jnp.int32(ep), E,
+                                       mode="mix_early")
+        np.testing.assert_array_equal(np.asarray(obs),
+                                      np.asarray(quad.INIT_STATE))
+    # off-cadence pre-anneal episodes match the anneal mode exactly
+    for ep in (1, 17, E - 1):
+        assert ep % k != 0
+        key = jax.random.PRNGKey(ep)
+        _, oa = quad.reset_curriculum(key, jnp.int32(ep), E)
+        _, om = quad.reset_curriculum(key, jnp.int32(ep), E,
+                                      mode="mix_early")
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(om))
+    # off-cadence post-anneal episodes match plain mix exactly
+    ep = E + k + 1
+    key = jax.random.PRNGKey(5)
+    _, o_mix = quad.reset_curriculum(key, jnp.int32(ep), E, mode="mix")
+    _, o_early = quad.reset_curriculum(key, jnp.int32(ep), E,
+                                       mode="mix_early")
+    np.testing.assert_array_equal(np.asarray(o_mix), np.asarray(o_early))
+
+
 def test_curriculum_mix_alpha_min():
     """mix_alpha_min (lever 13) narrows the post-anneal mixture to the
     hard band: off-cadence spawns sit at alpha >= the bound (distance to
