@@ -56,11 +56,13 @@ def summarize_run(run_dir: str) -> str | None:
         death = f"last goal ep {last:3d} (rho {rho_last:5.1f})"
     else:
         death = "no goals"
-    if mode == "mix" and curr_end:
-        # Mix mode: post-anneal, only every MIX_GROUND_INTERVAL-th episode
-        # is a true ground start (envs/quadrotor.py); score those alone so
+    if mode in ("mix", "mix_early") and curr_end:
+        # Mix modes: only every MIX_GROUND_INTERVAL-th episode is a true
+        # ground start (envs/quadrotor.py); score those alone so
         # retention is comparable across modes. Report the hit RATE too —
-        # the eligible count is ~1/3 of the anneal modes'.
+        # the eligible count is ~1/3 of the anneal modes'.  mix_early runs
+        # the cadence from episode 0, but we still score ep>=curr_end so
+        # the retention column is comparable with plain mix.
         sel = (ep >= curr_end) & (ep.astype(int) % 3 == 0)
         ground = int(g[sel].sum())
         gdesc = (f"ground-start (ep>={curr_end}, ep%3==0): {ground:3d}"
