@@ -92,6 +92,20 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
             f"pretanh_reg={pretanh_reg} requires the Gaussian policy "
             "(the deterministic head has no pre-tanh Gaussian mean to "
             "regularize)")
+    probe_pretanh_reg = float(getattr(scfg, "probe_pretanh_reg", 0.0))
+    probe_obs = None
+    if probe_pretanh_reg:
+        if not is_gaussian:
+            raise ValueError(
+                f"probe_pretanh_reg={probe_pretanh_reg} requires the "
+                "Gaussian policy (no pre-tanh mean to regularize)")
+        probe_fn = getattr(env, "ground_probe_obs", None)
+        if probe_fn is None:
+            raise ValueError(
+                f"probe_pretanh_reg={probe_pretanh_reg} requires an env "
+                f"exposing ground_probe_obs(); {cfg.env.name!r} does not "
+                "(quadrotor only)")
+        probe_obs = probe_fn()
 
     if is_gaussian:
         def sample_fn(params, obs_b, key):
@@ -337,6 +351,14 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                 # (XLA CSEs the extra trunk forward with sample_fn's).
                 mu, _ = gaussian_policy_forward(p, obs)
                 loss = loss + pretanh_reg * jnp.mean(jnp.square(mu))
+            if probe_pretanh_reg:
+                # Lever 18 (SacConfig.probe_pretanh_reg): same mu^2 pull
+                # but evaluated on the env's fixed ground-probe batch, so
+                # de-saturation pressure reaches the measured trap state
+                # regardless of replay composition (PARITY.md r7).
+                mu_p, _ = gaussian_policy_forward(p, probe_obs)
+                loss = loss + probe_pretanh_reg * jnp.mean(
+                    jnp.square(mu_p))
             return loss, (logp, lam_new, rho1, loss1, loss2)
 
         (_, (logp, lam_new, rho1, policy_loss_1, policy_loss_2)), pgrads = \

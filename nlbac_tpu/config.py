@@ -97,6 +97,15 @@ class SacConfig:
     # collapses to ~5e-5, and no later penalty signal can move the
     # policy there. Gaussian policy only.
     pretanh_reg: float = 0.0
+    # Probe-targeted pre-tanh regularizer (lever 18): add this *
+    # mean(pre-tanh mean^2 over the env's ground_probe_obs() batch) to
+    # the policy loss. Unlike pretanh_reg (replay-batch-averaged, which
+    # measurably fails to de-saturate the trap because ground obs are a
+    # sliver of the batch — PARITY.md lever 16), the pull lands exactly
+    # at the trap states regardless of replay composition. Requires the
+    # env to expose ground_probe_obs() (quadrotor only). 0 = off
+    # (every preset default).
+    probe_pretanh_reg: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -85,6 +85,35 @@ def _pos(x):
     return jnp.stack([x[0], x[2]])
 
 
+def ground_probe_obs() -> jnp.ndarray:
+    """Fixed probe batch around the ground spawn state (lever 18).
+
+    The measured ground-start failure (PARITY.md r7) is a
+    tanh-saturation trap AT the spawn observation: |pre-tanh mean|
+    reaches 2-6 there, tanh' collapses to ~5e-5, and the policy
+    gradient at the state is numerical noise — replay-averaged
+    regularization (lever 16) cannot reach it because ground obs are a
+    sliver of the batch. ``SacConfig.probe_pretanh_reg`` instead
+    evaluates the mu^2 pull on this fixed batch every policy update:
+    the exact spawn state plus single-coordinate perturbations covering
+    the first take-off steps (position jitter, small climb, small
+    attitude/rate excursions). Deterministic (no RNG) so the update
+    program stays reproducible.
+    """
+    rows = [INIT_STATE]
+    offsets = [
+        (0, -0.05), (0, 0.05),   # x jitter (CURRICULUM_JITTER scale)
+        (2, 0.05), (2, 0.15),    # small climb off the floor
+        (1, -0.2), (1, 0.2),     # xdot
+        (3, 0.2), (3, 0.4),      # zdot (ascent)
+        (4, -0.2), (4, 0.2),     # theta: early banking band
+        (5, -0.5), (5, 0.5),     # omega: pre-tumble rates
+    ]
+    for idx, dv in offsets:
+        rows.append(INIT_STATE.at[idx].add(dv))
+    return jnp.stack([get_obs(x) for x in rows])
+
+
 def reset(key, max_episode_steps: int = SPEC.max_episode_steps
           ) -> Tuple[QuadrotorState, jnp.ndarray]:
     del key

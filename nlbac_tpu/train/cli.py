@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "regularization; Gaussian policy only). Targets "
                         "tanh-saturation traps (PARITY.md r7 quadrotor "
                         "ground start). 0 = off (every preset default)")
+    p.add_argument("--probe_pretanh_reg", type=float, default=None,
+                   help="probe-targeted pre-tanh mean regularizer: the "
+                        "mu^2 pull is evaluated on the env's fixed "
+                        "ground_probe_obs() batch (quadrotor only) so it "
+                        "reaches the ground-start saturation trap "
+                        "regardless of replay composition (PARITY.md r7 "
+                        "lever 18). 0 = off (every preset default)")
     p.add_argument("--target_entropy", type=float, default=None,
                    help="override the SAC target entropy for both "
                         "temperature updates. Reference presets default "
@@ -202,7 +209,8 @@ def config_from_args(args) -> NLBACConfig:
                 target_update_interval=args.target_update_interval,
                 automatic_entropy_tuning=args.automatic_entropy_tuning,
                 target_entropy=args.target_entropy,
-                pretanh_reg=args.pretanh_reg),
+                pretanh_reg=args.pretanh_reg,
+                probe_pretanh_reg=args.probe_pretanh_reg),
         env=rep(cfg.env, max_episode_steps=args.max_episode_steps,
                 spawn_curriculum_episodes=args.spawn_curriculum_episodes,
                 spawn_curriculum_mode=args.spawn_curriculum_mode,

@@ -431,3 +431,77 @@ def test_pretanh_reg_shrinks_saturated_mean():
     args = build_parser().parse_args(
         ["--preset", "quadrotor", "--pretanh_reg", "0.001"])
     assert config_from_args(args).sac.pretanh_reg == 0.001
+
+
+def test_probe_pretanh_reg_targets_ground_obs():
+    """SacConfig.probe_pretanh_reg (lever 18): the mu^2 pull is evaluated
+    on the env's fixed ground_probe_obs() batch, so it de-saturates the
+    measured quadrotor ground-start trap regardless of replay
+    composition (PARITY.md r7 — the replay-averaged lever-16 reg fails
+    exactly because ground obs are a sliver of the batch). 0 keeps the
+    update bit-identical; envs without a probe batch and the
+    deterministic head are rejected at build time."""
+    cfg0 = tiny("quadrotor")
+    snaps0, _ = run_updates(cfg0, 2)
+    cfg_r = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac, probe_pretanh_reg=10.0))
+    snaps_r, m = run_updates(cfg_r, 2)
+    assert _changed(snaps0[-1].policy, snaps_r[-1].policy)
+    for k in ("qf1_loss", "qf2_loss"):  # critic path untouched
+        assert np.isfinite(float(m[k]))
+
+    # The probe pull is independent of the replay batch: with a
+    # dominating coefficient, one update moves an inflated mean-head
+    # bias toward zero by ~policy_lr (Adam's first bias-corrected step
+    # is -lr*sign(grad)) from BOTH inflation signs — even though the
+    # replay batch contains no ground-start transitions at all.
+    buf = fill_replay(cfg0)
+    cfg_big = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac, probe_pretanh_reg=1e3))
+    lr = cfg0.sac.policy_lr
+
+    def bias_after_one(cfg, inflation):
+        ts = create_train_state(cfg, jax.random.PRNGKey(0))
+        pol = jax.tree.map(lambda x: x, ts.policy)
+        pol["mean"]["b"][0] = pol["mean"]["b"][0] + inflation
+        ts = ts._replace(policy=pol)
+        ts, _ = jax.jit(make_agent(cfg).update)(
+            ts, buf, buf, jax.random.PRNGKey(7), jnp.int32(0))
+        return np.asarray(ts.policy["mean"]["b"][0])
+
+    for inflation in (6.0, -6.0):
+        b = bias_after_one(cfg_big, inflation)
+        np.testing.assert_allclose(b, inflation - np.sign(inflation) * lr,
+                                   atol=lr * 0.2)
+
+    # Probe batch itself: fixed, finite, ground-anchored.
+    from nlbac_tpu.envs import quadrotor
+
+    probe = np.asarray(quadrotor.ground_probe_obs())
+    assert probe.shape[1] == quadrotor.SPEC.obs_dim
+    np.testing.assert_array_equal(probe[0], np.asarray(quadrotor.INIT_STATE))
+    assert np.isfinite(probe).all()
+
+    # Build-time rejections: env without ground_probe_obs; det head.
+    uni = tiny("unicycle")
+    bad_env = dataclasses.replace(
+        uni, sac=dataclasses.replace(uni.sac, probe_pretanh_reg=1.0))
+    with pytest.raises(ValueError, match="ground_probe_obs"):
+        make_agent(bad_env)
+    det = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac,
+                                      policy_type="deterministic",
+                                      automatic_entropy_tuning=False,
+                                      probe_pretanh_reg=1.0))
+    with pytest.raises(ValueError, match="probe_pretanh_reg"):
+        make_agent(det)
+
+    # CLI plumbs through; presets default 0.
+    from nlbac_tpu.config import PRESETS
+    from nlbac_tpu.train.cli import build_parser, config_from_args
+
+    for name in PRESETS:
+        assert get_config(name).sac.probe_pretanh_reg == 0.0
+    args = build_parser().parse_args(
+        ["--preset", "quadrotor", "--probe_pretanh_reg", "0.01"])
+    assert config_from_args(args).sac.probe_pretanh_reg == 0.01
