@@ -302,6 +302,21 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                 bgrads, ts.opt["barrier"], ts.barrier)
             barrier = optax.apply_updates(ts.barrier, bupd)
 
+        # Perf lever (SacConfig.decoupled_updates): route the
+        # policy-gradient paths to the PRE-update function approximators
+        # so the TD-update subgraphs and the policy subgraph share no
+        # data dependency and XLA may interleave their schedules. The
+        # reference order (policy loss at the just-stepped critic,
+        # UNI/sac_cbf_clf/sac_cbf_clf.py update_parameters) is the
+        # default; this is a static Python branch, so default-off
+        # programs are byte-identical.
+        if scfg.decoupled_updates:
+            pg_critic, pg_lyap, pg_barrier = ts.critic, ts.lyap, ts.barrier
+            pg_node = ts.node
+        else:
+            pg_critic, pg_lyap, pg_barrier = critic, lyap, barrier
+            pg_node = node_params
+
         # --- 3. primary policy -------------------------------------------
         do_lam = (updates_ctr % ccfg.lambda_update_interval == 0)
         # Lever 10 (config.ConstraintConfig.lagrangian_warmup_episodes):
@@ -323,15 +338,15 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
             return resample
 
         term_kwargs = dict(
-            ccfg=ccfg, ncfg=ncfg, node_params=node_params, field=field,
-            lyap_params=lyap, lyap_t=batch["lyap_t"], dt=dt,
+            ccfg=ccfg, ncfg=ncfg, node_params=pg_node, field=field,
+            lyap_params=pg_lyap, lyap_t=batch["lyap_t"], dt=dt,
             t=batch["t"][:, None], next_t=batch["next_t"][:, None],
-            env_name=cfg.env.name, barrier_params=barrier,
+            env_name=cfg.env.name, barrier_params=pg_barrier,
         )
 
         def policy_loss_fn(p):
             pi, logp, _ = sample_fn(p, obs, keys[3])
-            q1, q2 = twin_q_apply(critic, obs, pi)
+            q1, q2 = twin_q_apply(pg_critic, obs, pi)
             min_q = jnp.minimum(q1, q2)
             loss1 = jnp.mean(jax.lax.stop_gradient(alpha) * logp - min_q)
             terms = builder.terms(obs=obs, action=pi, key=keys[4],
@@ -388,7 +403,7 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
 
                 def backup_loss_fn(p):
                     bpi, blogp, _ = sample_fn(p, obs, keys[5])
-                    q1, q2 = twin_q_apply(critic, obs, bpi)
+                    q1, q2 = twin_q_apply(pg_critic, obs, bpi)
                     min_q = jnp.minimum(q1, q2)
                     loss1 = jnp.mean(
                         jax.lax.stop_gradient(backup_alpha) * blogp - min_q)

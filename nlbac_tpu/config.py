@@ -106,6 +106,20 @@ class SacConfig:
     # env to expose ground_probe_obs() (quadrotor only). 0 = off
     # (every preset default).
     probe_pretanh_reg: float = 0.0
+    # Perf lever (r8): evaluate the policy/backup-policy losses at the
+    # PRE-update critic/Lyapunov/barrier/NODE params instead of the
+    # just-updated ones. The reference (and default) order is
+    # critic-step -> policy-loss-at-new-critic
+    # (UNI/sac_cbf_clf/sac_cbf_clf.py update_parameters: the optimizer
+    # steps mutate the modules in place before the policy loss reads
+    # them), which makes the whole update one sequential dependency
+    # chain — the measured per-update bottleneck (CLAUDE.md perf
+    # notes). With this flag the TD-update subgraphs and the policy
+    # subgraph are data-independent, so XLA may interleave them.
+    # One-update-stale critics are a standard SAC variation; ships
+    # default-off so every reference preset's program stays
+    # byte-identical (static Python branch, no extra ops).
+    decoupled_updates: bool = False
 
 
 @dataclass(frozen=True)

@@ -505,3 +505,46 @@ def test_probe_pretanh_reg_targets_ground_obs():
     args = build_parser().parse_args(
         ["--preset", "quadrotor", "--probe_pretanh_reg", "0.01"])
     assert config_from_args(args).sac.probe_pretanh_reg == 0.01
+
+
+def test_decoupled_updates_semantics():
+    """Perf lever (SacConfig.decoupled_updates): the policy-gradient
+    paths read the PRE-update critic/Lyapunov/barrier/NODE params.
+
+    Pins three facts: (1) the TD losses are untouched (they are pure
+    functions of the pre-update state, compared as metrics — post-Adam
+    params are NOT comparable across the two compiled programs because
+    Adam amplifies one-ULP fusion-rounding differences on near-zero
+    gradients to full +/-lr steps); (2) the policy update genuinely
+    diverges (it reads a different critic); (3) when the TD optimizers
+    are frozen (critic_lr=0 covers critic+Lyapunov+barrier) and the
+    NODE fit is gated off, the pre- and post-update approximators
+    coincide and the two modes match everywhere to compiler-rounding
+    tolerance — the flag's only effect is which side of the optimizer
+    step the policy loss reads."""
+    cfg0 = tiny("unicycle")
+    dec = dataclasses.replace(
+        cfg0, sac=dataclasses.replace(cfg0.sac, decoupled_updates=True))
+    ts = create_train_state(cfg0, jax.random.PRNGKey(0))
+    buf = fill_replay(cfg0)
+    args = (ts, buf, buf, jax.random.PRNGKey(5), jnp.int32(0))
+    tsc, mc = jax.jit(make_agent(cfg0).update)(*args)
+    tsd, md = jax.jit(make_agent(dec).update)(*args)
+    for k in ("qf1_loss", "qf2_loss", "lf_loss"):
+        np.testing.assert_allclose(np.asarray(mc[k]), np.asarray(md[k]),
+                                   rtol=1e-5, atol=1e-7)
+    assert _changed(tsc.policy, tsd.policy)
+    assert _changed(ts.policy, tsd.policy)  # still actually trains
+
+    frozen = dataclasses.replace(
+        cfg0,
+        sac=dataclasses.replace(cfg0.sac, critic_lr=0.0),
+        node=dataclasses.replace(cfg0.node, fit_episode_limit=-1))
+    frozen_dec = dataclasses.replace(
+        frozen, sac=dataclasses.replace(frozen.sac,
+                                        decoupled_updates=True))
+    tsc, _ = jax.jit(make_agent(frozen).update)(*args)
+    tsd, _ = jax.jit(make_agent(frozen_dec).update)(*args)
+    for a, b in zip(jax.tree.leaves(tsc), jax.tree.leaves(tsd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
