@@ -116,9 +116,14 @@ class SacConfig:
     # chain — the measured per-update bottleneck (CLAUDE.md perf
     # notes). With this flag the TD-update subgraphs and the policy
     # subgraph are data-independent, so XLA may interleave them.
-    # One-update-stale critics are a standard SAC variation; ships
-    # default-off so every reference preset's program stays
-    # byte-identical (static Python branch, no extra ops).
+    # One-update-stale critics are a standard SAC variation.
+    # MEASURED LOSS, do not flip for perf: 0.978x interleaved A/B
+    # (2015 vs 2061 steps/s unicycle medians, scripts/ab_decoupled.py,
+    # r8) — the episode program is latency-bound on op count, and
+    # breaking the dependency changes no op count; XLA's schedule of
+    # the sequential graph wins. Kept for measurement reproducibility
+    # and as a semantic variation; default-off keeps every reference
+    # preset's program byte-identical (static Python branch).
     decoupled_updates: bool = False
 
 
