@@ -255,6 +255,18 @@ class RunConfig:
     exp_name: str = "nlbac"
     log_wandb: bool = False
     wandb_project: str = ""
+    # Best-checkpoint selection (r8). The reference saves weights only on
+    # a fixed cadence (UNI/main.py:153-154), so a run that later drifts
+    # (the documented late Lagrangian drift — PARITY.md cars 500-episode
+    # addendum, quadrotor levers) ships its post-drift weights. With a
+    # metric set, the trailing-``save_best_window``-episode mean of that
+    # per-episode metric is tracked once the window fills, and every new
+    # maximum snapshots the weights to <output>/best/ (reference file
+    # layout, loadable by --mode eval / load_model_weights) plus a
+    # best.json provenance record. None = off (every preset default —
+    # reference cadence semantics unchanged).
+    save_best_metric: str | None = None  # "reward" | "goal_rate"
+    save_best_window: int = 30
 
 
 @dataclass(frozen=True)

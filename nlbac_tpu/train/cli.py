@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import time
 
@@ -180,6 +181,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "load but execute code — trusted paths only")
     p.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace dir (first episode)")
+    p.add_argument("--save_best", default=None,
+                   choices=["reward", "goal_rate"],
+                   help="track the trailing --save_best_window mean of "
+                        "this per-episode metric and snapshot the best "
+                        "weights to <output>/best/ (the reference only "
+                        "saves on a fixed cadence, so late Lagrangian "
+                        "drift ships post-drift weights); load with "
+                        "--mode eval pointed at the best/ dir")
+    p.add_argument("--save_best_window", type=int, default=None,
+                   help="trailing window (episodes) for --save_best "
+                        "(default 30)")
     return p
 
 
@@ -233,7 +245,9 @@ def config_from_args(args) -> NLBACConfig:
         run=rep(cfg.run, seed=args.seed,
                 max_episodes=args.max_episodes, output=args.output,
                 log_wandb=True if args.wandb else None,
-                wandb_project=args.wandb_project),
+                wandb_project=args.wandb_project,
+                save_best_metric=args.save_best,
+                save_best_window=args.save_best_window),
     )
     if args.replay_size is not None:
         cap = min(args.replay_size,
@@ -299,6 +313,26 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     is_nbc = cfg.constraint.kind == "learned_barrier"
     ckpt_writer = AsyncCheckpointer()
 
+    # Best-checkpoint selection (RunConfig.save_best_metric): trailing-
+    # window mean, evaluated only once the window fills so an early lucky
+    # episode cannot set the bar. Build-time validation: fail loudly
+    # before the first episode, not at the first would-be save.
+    best_metric = cfg.run.save_best_metric
+    if best_metric is not None:
+        if best_metric not in ("reward", "goal_rate"):
+            raise ValueError(f"save_best_metric={best_metric!r} must be "
+                             "'reward' or 'goal_rate'")
+        if cfg.run.save_best_window < 1:
+            raise ValueError("save_best_window must be >= 1")
+        if output_dir is None:
+            raise ValueError("save_best_metric requires an output dir "
+                             "(weights go to <output>/best/)")
+        from collections import deque
+        best_window = deque(maxlen=min(cfg.run.save_best_window,
+                                       cfg.run.max_episodes))
+        best_mean = None
+        best_dir = os.path.join(output_dir, "best")
+
     for i_episode in range(start_episode, cfg.run.max_episodes):
         key, kep = jax.random.split(key)
         phase = "episode_first" if i_episode == 0 else "episode"
@@ -317,6 +351,25 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # episode run — measured; same pathology as checkpoint._to_host)
         m = _to_host(m)
         total_steps_host = int(_to_host(total_steps))
+
+        # best-checkpoint selection: strictly-greater trailing mean wins
+        # (first full window always saves), weights in the reference file
+        # layout so --mode eval / load_model_weights read best/ directly
+        if best_metric is not None:
+            best_window.append(float(m.reward) if best_metric == "reward"
+                               else float(m.goal_met))
+            if len(best_window) == best_window.maxlen:
+                cur = sum(best_window) / len(best_window)
+                if best_mean is None or cur > best_mean:
+                    best_mean = cur
+                    save_model_weights(best_dir, ts,
+                                       include_barrier=is_nbc)
+                    with open(os.path.join(best_dir, "best.json"),
+                              "w") as f:
+                        json.dump({"episode": i_episode,
+                                   "metric": best_metric,
+                                   "window": len(best_window),
+                                   "value": cur}, f)
 
         # checkpoints (UNI/main.py:153-154 cadence + full state)
         if (i_episode % save_every == 0
@@ -504,7 +557,7 @@ def main(argv=None):
         # Loud failure beats silent loss: multi-seed has no checkpoint/
         # resume/profile/wandb path, and silently restarting from scratch
         # under --resume would overwrite per-seed weights in place.
-        for flag in ("resume", "checkpoint", "profile_dir"):
+        for flag in ("resume", "checkpoint", "profile_dir", "save_best"):
             if getattr(args, flag, None):
                 raise SystemExit(
                     f"--{flag} is a single-seed feature; it is not "

@@ -301,3 +301,89 @@ def test_examples_fit_dynamics_runs():
         capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "fitted" in out.stdout
+
+
+def test_save_best_checkpoint(tmp_path):
+    """--save_best: the best/ snapshot is the argmax of the trailing-
+    window mean over progress.txt (strictly-greater semantics — the
+    earliest maximum wins), written in the reference file layout and
+    loadable; window is clamped to max_episodes so short runs still
+    save."""
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "8",
+        "--max_episode_steps", "12", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16",
+        "--save_best", "reward", "--save_best_window", "3",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.run.save_best_metric == "reward"
+    assert cfg.run.save_best_window == 3
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=128, node_capacity=128),
+    )
+    out = str(tmp_path / "run")
+    train(cfg, output_dir=out, quiet=True)
+
+    import json
+
+    best_dir = os.path.join(out, "best")
+    for f in ("actor.pkl", "critic.pkl", "lyapunov.pkl",
+              "node_model.pkl", "best.json"):
+        assert os.path.exists(os.path.join(best_dir, f)), f
+    with open(os.path.join(best_dir, "best.json")) as fh:
+        best = json.load(fh)
+
+    from nlbac_tpu.utils.plot import load_progress
+    r = load_progress(os.path.join(out, "progress.txt"))["reward_train"]
+    means = {i: sum(r[i - 2:i + 1]) / 3 for i in range(2, 8)}
+    expect_ep, expect_val = None, None
+    for i, v in means.items():
+        if expect_val is None or v > expect_val:
+            expect_ep, expect_val = i, v
+    assert best["episode"] == expect_ep
+    assert best["window"] == 3
+    # progress.txt prints rounded values; best.json stores the exact mean
+    np.testing.assert_allclose(best["value"], expect_val, rtol=1e-4)
+
+    # best/ weights load through the standard reader
+    import jax
+
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.train.checkpoint import load_model_weights
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    load_model_weights(best_dir, ts)
+
+    # window > max_episodes clamps (short run still saves a best)
+    args2 = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "12", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16",
+        "--save_best", "goal_rate",
+    ])
+    cfg2 = dataclasses.replace(
+        config_from_args(args2),
+        node=dataclasses.replace(cfg.node),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out2 = str(tmp_path / "run2")
+    train(cfg2, output_dir=out2, quiet=True)
+    assert os.path.exists(os.path.join(out2, "best", "best.json"))
+
+    # validation: no output dir -> loud failure; bad window too
+    import pytest
+    with pytest.raises(ValueError, match="output dir"):
+        train(cfg, output_dir=None, quiet=True)
+    bad = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, save_best_window=0))
+    with pytest.raises(ValueError, match="save_best_window"):
+        train(bad, output_dir=str(tmp_path / "run3"), quiet=True)
+
+    # multi-seed rejects it loudly
+    from nlbac_tpu.train.cli import main
+    with pytest.raises(SystemExit):
+        main(["--preset", "unicycle", "--n_seeds", "2",
+              "--save_best", "reward"])
