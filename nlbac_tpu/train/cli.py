@@ -328,8 +328,11 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
             raise ValueError("save_best_metric requires an output dir "
                              "(weights go to <output>/best/)")
         from collections import deque
-        best_window = deque(maxlen=min(cfg.run.save_best_window,
-                                       cfg.run.max_episodes))
+        # clamp to the episodes this process will actually run (short
+        # runs and late --resume points still produce a best/ snapshot)
+        best_window = deque(maxlen=max(1, min(
+            cfg.run.save_best_window,
+            cfg.run.max_episodes - start_episode)))
         best_mean = None
         best_dir = os.path.join(output_dir, "best")
 
