@@ -267,6 +267,13 @@ class RunConfig:
     # reference cadence semantics unchanged).
     save_best_metric: str | None = None  # "reward" | "goal_rate"
     save_best_window: int = 30
+    # Ignore episodes < N for best-selection. Needed under spawn
+    # curricula: trailing goal_rate saturates at 1.0 on the trivial
+    # early spawns (measured: the quadrotor mix recipe's best.json
+    # picked episode 43, mid-anneal), and later genuinely-hard perfect
+    # windows can never strictly beat it. Set to the curriculum end to
+    # select the best post-anneal policy.
+    save_best_after: int = 0
 
 
 @dataclass(frozen=True)

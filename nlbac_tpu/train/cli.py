@@ -192,6 +192,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_best_window", type=int, default=None,
                    help="trailing window (episodes) for --save_best "
                         "(default 30)")
+    p.add_argument("--save_best_after", type=int, default=None,
+                   help="ignore episodes < N for --save_best (under a "
+                        "spawn curriculum the early trivial spawns "
+                        "saturate goal_rate at 1.0 and no later window "
+                        "can strictly beat it; set N to the curriculum "
+                        "end)")
     return p
 
 
@@ -247,7 +253,8 @@ def config_from_args(args) -> NLBACConfig:
                 log_wandb=True if args.wandb else None,
                 wandb_project=args.wandb_project,
                 save_best_metric=args.save_best,
-                save_best_window=args.save_best_window),
+                save_best_window=args.save_best_window,
+                save_best_after=args.save_best_after),
     )
     if args.replay_size is not None:
         cap = min(args.replay_size,
@@ -327,12 +334,19 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         if output_dir is None:
             raise ValueError("save_best_metric requires an output dir "
                              "(weights go to <output>/best/)")
+        if cfg.run.save_best_after >= cfg.run.max_episodes:
+            raise ValueError(
+                f"save_best_after={cfg.run.save_best_after} must be < "
+                f"max_episodes={cfg.run.max_episodes} (no episode would "
+                "ever be tracked)")
         from collections import deque
-        # clamp to the episodes this process will actually run (short
-        # runs and late --resume points still produce a best/ snapshot)
+        # clamp to the episodes this process will actually track (short
+        # runs, late --resume points, and a save_best_after gate still
+        # produce a best/ snapshot)
+        best_first = max(start_episode, cfg.run.save_best_after)
         best_window = deque(maxlen=max(1, min(
             cfg.run.save_best_window,
-            cfg.run.max_episodes - start_episode)))
+            cfg.run.max_episodes - best_first)))
         best_mean = None
         best_dir = os.path.join(output_dir, "best")
 
@@ -358,7 +372,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # best-checkpoint selection: strictly-greater trailing mean wins
         # (first full window always saves), weights in the reference file
         # layout so --mode eval / load_model_weights read best/ directly
-        if best_metric is not None:
+        if best_metric is not None and i_episode >= cfg.run.save_best_after:
             best_window.append(float(m.reward) if best_metric == "reward"
                                else float(m.goal_met))
             if len(best_window) == best_window.maxlen:
@@ -372,6 +386,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                         json.dump({"episode": i_episode,
                                    "metric": best_metric,
                                    "window": len(best_window),
+                                   "after": cfg.run.save_best_after,
                                    "value": cur}, f)
 
         # checkpoints (UNI/main.py:153-154 cadence + full state)

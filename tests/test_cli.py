@@ -373,7 +373,31 @@ def test_save_best_checkpoint(tmp_path):
     train(cfg2, output_dir=out2, quiet=True)
     assert os.path.exists(os.path.join(out2, "best", "best.json"))
 
-    # validation: no output dir -> loud failure; bad window too
+    # --save_best_after N gates early episodes out of the window (spawn
+    # curricula saturate goal_rate early, see RunConfig.save_best_after):
+    # with after=5 on 8 episodes and window 3, only eps 5..7 are
+    # candidates and the single full window ends at ep 7
+    args3 = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "8",
+        "--max_episode_steps", "12", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16",
+        "--save_best", "reward", "--save_best_window", "3",
+        "--save_best_after", "5",
+    ])
+    cfg3 = dataclasses.replace(
+        config_from_args(args3),
+        node=dataclasses.replace(cfg.node),
+        replay=ReplayConfig(capacity=128, node_capacity=128),
+    )
+    out3 = str(tmp_path / "run_after")
+    train(cfg3, output_dir=out3, quiet=True)
+    with open(os.path.join(out3, "best", "best.json")) as fh:
+        best3 = json.load(fh)
+    assert best3["episode"] == 7 and best3["after"] == 5
+    r3 = load_progress(os.path.join(out3, "progress.txt"))["reward_train"]
+    np.testing.assert_allclose(best3["value"], sum(r3[5:8]) / 3, rtol=1e-4)
+
+    # validation: no output dir -> loud failure; bad window/after too
     import pytest
     with pytest.raises(ValueError, match="output dir"):
         train(cfg, output_dir=None, quiet=True)
@@ -381,6 +405,10 @@ def test_save_best_checkpoint(tmp_path):
         cfg, run=dataclasses.replace(cfg.run, save_best_window=0))
     with pytest.raises(ValueError, match="save_best_window"):
         train(bad, output_dir=str(tmp_path / "run3"), quiet=True)
+    bad2 = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, save_best_after=8))
+    with pytest.raises(ValueError, match="save_best_after"):
+        train(bad2, output_dir=str(tmp_path / "run4"), quiet=True)
 
     # multi-seed rejects it loudly
     from nlbac_tpu.train.cli import main
