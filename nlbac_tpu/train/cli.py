@@ -478,10 +478,26 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
     reference's setup_logger_kwargs, UNI/utils/run_utils.py:25-86).  A
     per-episode aggregate row (mean/std/min/max reward across seeds,
     host-side numpy with the mpi_statistics_scalar ddof=0 convention)
-    prints to stdout.  Full-state checkpoint/resume and wandb remain
-    single-seed (:func:`train`) features — ``main()`` rejects the
-    combination loudly."""
+    prints to stdout.  ``--save_best`` tracks each seed independently
+    (best weights under ``s<seed>/best/``).  Full-state checkpoint/
+    resume and wandb remain single-seed (:func:`train`) features —
+    ``main()`` rejects the combination loudly."""
     from nlbac_tpu.parallel import make_async_seed_runner
+
+    if cfg.run.save_best_metric is not None:
+        if cfg.run.save_best_metric not in ("reward", "goal_rate"):
+            raise ValueError(
+                f"save_best_metric={cfg.run.save_best_metric!r} must be "
+                "'reward' or 'goal_rate'")
+        if cfg.run.save_best_window < 1:
+            raise ValueError("save_best_window must be >= 1")
+        if output_root is None:
+            raise ValueError("save_best_metric requires an output dir "
+                             "(weights go to s<seed>/best/)")
+        if cfg.run.save_best_after >= cfg.run.max_episodes:
+            raise ValueError(
+                f"save_best_after={cfg.run.save_best_after} must be < "
+                f"max_episodes={cfg.run.max_episodes}")
 
     seeds = [cfg.run.seed + i for i in range(n_seeds)]
     loggers = []
@@ -512,6 +528,16 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
 
 def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
                      step_fn, states, save_every, is_nbc, timer):
+    # per-seed best-checkpoint tracking (RunConfig.save_best_metric):
+    # same trailing-window/after/strictly-greater semantics as train()
+    best_metric = cfg.run.save_best_metric
+    if best_metric is not None:
+        from collections import deque
+        maxlen = max(1, min(cfg.run.save_best_window,
+                            cfg.run.max_episodes - cfg.run.save_best_after))
+        best_windows = [deque(maxlen=maxlen) for _ in seeds]
+        best_means = [None] * len(seeds)
+
     for i_episode in range(cfg.run.max_episodes):
         phase = "episode_first" if i_episode == 0 else "episode"
         with timer.time(phase):
@@ -546,6 +572,26 @@ def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
                 f"ep {i_episode:4d}  reward over {n_seeds} seeds: "
                 f"{mean:9.2f} ± {std:7.2f}  [{lo:9.2f}, {hi:9.2f}]",
                 "white"))
+        if best_metric is not None and i_episode >= cfg.run.save_best_after:
+            for j, (s, st, m) in enumerate(zip(seeds, states, metrics)):
+                best_windows[j].append(
+                    float(m.reward) if best_metric == "reward"
+                    else float(m.goal_met))
+                if len(best_windows[j]) != best_windows[j].maxlen:
+                    continue
+                cur = sum(best_windows[j]) / len(best_windows[j])
+                if best_means[j] is None or cur > best_means[j]:
+                    best_means[j] = cur
+                    bdir = os.path.join(output_root, f"s{s}", "best")
+                    save_model_weights(bdir, st[0],
+                                       include_barrier=is_nbc)
+                    with open(os.path.join(bdir, "best.json"), "w") as f:
+                        json.dump({"episode": i_episode,
+                                   "metric": best_metric,
+                                   "window": len(best_windows[j]),
+                                   "after": cfg.run.save_best_after,
+                                   "value": cur, "seed": s}, f)
+
         if output_root is not None and (
                 i_episode % save_every == 0
                 or i_episode == cfg.run.max_episodes - 1):
@@ -575,7 +621,7 @@ def main(argv=None):
         # Loud failure beats silent loss: multi-seed has no checkpoint/
         # resume/profile/wandb path, and silently restarting from scratch
         # under --resume would overwrite per-seed weights in place.
-        for flag in ("resume", "checkpoint", "profile_dir", "save_best"):
+        for flag in ("resume", "checkpoint", "profile_dir"):
             if getattr(args, flag, None):
                 raise SystemExit(
                     f"--{flag} is a single-seed feature; it is not "

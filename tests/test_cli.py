@@ -410,8 +410,26 @@ def test_save_best_checkpoint(tmp_path):
     with pytest.raises(ValueError, match="save_best_after"):
         train(bad2, output_dir=str(tmp_path / "run4"), quiet=True)
 
-    # multi-seed rejects it loudly
-    from nlbac_tpu.train.cli import main
-    with pytest.raises(SystemExit):
-        main(["--preset", "unicycle", "--n_seeds", "2",
-              "--save_best", "reward"])
+    # multi-seed: per-seed best/ snapshots, each the argmax of that
+    # seed's own progress.txt trailing mean
+    from nlbac_tpu.train.cli import train_multi_seed
+    cfg_ms = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, seed=11, max_episodes=6))
+    out_ms = str(tmp_path / "multi")
+    train_multi_seed(cfg_ms, n_seeds=2, output_root=out_ms, quiet=True)
+    for s in (11, 12):
+        bdir = os.path.join(out_ms, f"s{s}", "best")
+        with open(os.path.join(bdir, "best.json")) as fh:
+            b = json.load(fh)
+        assert b["seed"] == s and b["window"] == 3
+        rs = load_progress(
+            os.path.join(out_ms, f"s{s}", "progress.txt"))["reward_train"]
+        exp_ep, exp_val = None, None
+        for i in range(2, 6):
+            v = sum(rs[i - 2:i + 1]) / 3
+            if exp_val is None or v > exp_val:
+                exp_ep, exp_val = i, v
+        assert b["episode"] == exp_ep, (s, b, exp_ep)
+        np.testing.assert_allclose(b["value"], exp_val, rtol=1e-4)
+    with pytest.raises(ValueError, match="output dir"):
+        train_multi_seed(cfg_ms, n_seeds=2, output_root=None, quiet=True)
