@@ -140,14 +140,19 @@ def render(env_name: str, state, trajectory=None) -> np.ndarray:
 
 
 def save_video(frames: List[np.ndarray], path: str, fps: int = 30) -> str:
-    """Write frames to an .mp4 (via matplotlib animation) or fall back to
-    a directory of .png frames when no video encoder is available."""
+    """Write frames to a video file; returns the path actually written.
+
+    ``.gif`` uses the pillow writer (always available with matplotlib);
+    other extensions use ffmpeg. When the requested encoder is missing
+    (this image has no ffmpeg), degrade in order: swap the extension to
+    ``.gif``, then a directory of ``.png`` frames as the last resort —
+    a single-file artifact beats a frame dump wherever possible."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
 
-    try:
+    def _write(out_path, writer):
         fig = plt.figure(figsize=(frames[0].shape[1] / 100,
                                   frames[0].shape[0] / 100), dpi=100)
         ax = fig.add_axes([0, 0, 1, 1])
@@ -159,17 +164,27 @@ def save_video(frames: List[np.ndarray], path: str, fps: int = 30) -> str:
             return [im]
 
         ani = animation.FuncAnimation(fig, update, frames=len(frames))
-        ani.save(path, fps=fps, writer="ffmpeg")
-        plt.close(fig)
-        return path
-    except Exception:
-        import os
-        base = path.rsplit(".", 1)[0]
-        os.makedirs(base, exist_ok=True)
-        from matplotlib.image import imsave
-        for i, fr in enumerate(frames):
-            imsave(os.path.join(base, f"frame_{i:05d}.png"), fr)
-        return base
+        try:
+            ani.save(out_path, fps=fps, writer=writer)
+        finally:
+            plt.close(fig)
+        return out_path
+
+    attempts = ([(path, "pillow")] if path.endswith(".gif")
+                else [(path, "ffmpeg"),
+                      (path.rsplit(".", 1)[0] + ".gif", "pillow")])
+    for out_path, writer in attempts:
+        try:
+            return _write(out_path, writer)
+        except Exception:  # noqa: BLE001 — missing encoder: try the next
+            continue
+    import os
+    base = path.rsplit(".", 1)[0]
+    os.makedirs(base, exist_ok=True)
+    from matplotlib.image import imsave
+    for i, fr in enumerate(frames):
+        imsave(os.path.join(base, f"frame_{i:05d}.png"), fr)
+    return base
 
 
 class LiveViewer:

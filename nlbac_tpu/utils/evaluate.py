@@ -118,8 +118,16 @@ def main(argv=None):
                         "(mode='human'; falls back to frame collection "
                         "on headless hosts)")
     p.add_argument("--stochastic", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="evaluate on the host CPU so the rollout never "
+                        "contends with a training run for the TPU tunnel "
+                        "(a queued second axon client stalls both — "
+                        "CLAUDE.md; env-var JAX_PLATFORMS=cpu does not "
+                        "override the plugin, the config update does)")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     cfg = get_config(args.preset)
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     ts = load_model_weights(args.run_dir, ts,

@@ -116,6 +116,17 @@ def test_render_frames():
         render("nope", None)
 
 
+def test_save_video_gif_and_fallback(tmp_path):
+    from nlbac_tpu.envs.render import save_video
+    frames = [np.zeros((40, 60, 3), np.uint8) for _ in range(3)]
+    # .gif goes through the pillow writer and returns the same path
+    gif = save_video(frames, str(tmp_path / "clip.gif"), fps=5)
+    assert gif.endswith("clip.gif") and os.path.getsize(gif) > 0
+    # .mp4 on this encoder-less image degrades to a .gif next to it
+    out = save_video(frames, str(tmp_path / "clip2.mp4"), fps=5)
+    assert out.endswith("clip2.gif") and os.path.getsize(out) > 0
+
+
 class _ToyHostEnv:
     """Host-side env implementing the reference's extended step API."""
 
