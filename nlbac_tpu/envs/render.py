@@ -85,8 +85,11 @@ def render_pvtol(state, trajectory: Optional[np.ndarray] = None
 def render_cars(state) -> np.ndarray:
     """One rgb frame of the car chain. state: (10,) [x_i, v_i]."""
     fig, ax = _canvas(figsize=(8, 2.2))
-    pos = np.asarray(state)[0::2]
-    vel = np.asarray(state)[1::2]
+    # accept padded state rows (evaluate.py tracks a fixed 12-wide
+    # buffer); the car chain is exactly the first 10 entries
+    s = np.asarray(state).ravel()[:10]
+    pos = s[0::2]
+    vel = s[1::2]
     colors = ["gray", "gray", "gray", "steelblue", "gray"]
     for i, (x, v) in enumerate(zip(pos, vel)):
         ax.plot(x, 0, "s", color=colors[i], markersize=14)

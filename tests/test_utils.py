@@ -112,6 +112,10 @@ def test_render_frames():
     assert f2.shape[2] == 3
     f3 = render("cars", np.arange(10, dtype=float))
     assert f3.shape[2] == 3
+    # evaluate.py tracks states in a padded 12-wide buffer — the cars
+    # renderer must ignore the trailing pad (it once IndexError'd)
+    f4 = render("cars", np.concatenate([np.arange(10.0), np.zeros(2)]))
+    assert f4.shape[2] == 3
     with pytest.raises(ValueError):
         render("nope", None)
 
