@@ -61,6 +61,36 @@ def test_train_writes_all_artifacts(tmp_path):
     assert np.all(cols["episode_steps"] <= 12)
 
 
+def test_cli_mode_eval(tmp_path, capsys):
+    """--mode eval: main() loads reference-layout weights from --output
+    (then a run dir, not a parent) and prints per-episode rollouts —
+    the test_policy.py replacement driven through the one CLI."""
+    from nlbac_tpu.train.cli import main
+
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "12", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out = str(tmp_path / "run")
+    train(cfg, output_dir=out, quiet=True)
+
+    main(["--preset", "unicycle", "--mode", "eval",
+          "--max_episode_steps", "12", "--hidden_size", "16",
+          "--output", out])
+    got = capsys.readouterr().out
+    assert got.count("eval ep") == 5
+    assert "mean over 5 eps" in got
+
+
 def test_train_multi_seed(tmp_path):
     """--n_seeds: per-seed progress/weights land under s<seed>/, and each
     seed row reproduces a standalone single-seed train() run bit-for-bit
