@@ -222,6 +222,24 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
     return st, get_obs(st.x)
 
 
+def spawn_at_alpha(alpha) -> Tuple[QuadrotorState, jnp.ndarray]:
+    """Deterministic (jitter-free) reset at a point on the curriculum
+    spawn arc: ``alpha=1`` is bit-identical to :func:`reset` (the exact
+    ground start), ``alpha -> 0`` approaches the goal ring, and the
+    mid-path clearance bump over the obstacle is included. This is the
+    in-flight evaluation spawn for policies trained with
+    ``spawn_curriculum_mode='mix'`` (PARITY.md levers 12/18) — the
+    stock :func:`reset` only ever measures the hardest spawn."""
+    a = jnp.float32(alpha)
+    init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
+    pos = GOAL + a * (init_pos - GOAL)
+    pos = pos.at[1].add(0.45 * 4.0 * a * (1.0 - a))
+    x = jnp.stack([pos[0], jnp.float32(0.0), pos[1], jnp.float32(0.0),
+                   jnp.float32(0.0), jnp.float32(0.0)])
+    st = QuadrotorState(x=x, step=jnp.int32(0))
+    return st, get_obs(st.x)
+
+
 def dynamics(x, u):
     """Continuous-time planar-quadrotor derivative."""
     t_tot = (u[0] + u[1]) / MASS

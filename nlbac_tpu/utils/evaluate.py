@@ -31,15 +31,22 @@ from nlbac_tpu.train.checkpoint import load_model_weights
 
 def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
                render_path: Optional[str] = None, deterministic=True,
-               display: bool = False):
+               display: bool = False, spawn_alpha: Optional[float] = None):
     env = get_env(cfg.env.name)
     spec = action_spec(cfg)
+    if spawn_alpha is not None and cfg.env.name != "quadrotor":
+        raise ValueError("--spawn_alpha is quadrotor-only (the spawn "
+                         f"arc of its mix curriculum); env is "
+                         f"{cfg.env.name!r}")
 
     @jax.jit
     def rollout(policy, key):
         key, krst = jax.random.split(key)
         st, obs = env.reset(krst,
                             max_episode_steps=cfg.env.max_episode_steps)
+        if spawn_alpha is not None:
+            from nlbac_tpu.envs import quadrotor as quad
+            st, obs = quad.spawn_at_alpha(spawn_alpha)
 
         def cond(c):
             return ~c[2]
@@ -118,6 +125,12 @@ def main(argv=None):
                         "(mode='human'; falls back to frame collection "
                         "on headless hosts)")
     p.add_argument("--stochastic", action="store_true")
+    p.add_argument("--spawn_alpha", type=float, default=None,
+                   help="quadrotor-only: spawn on the mix-curriculum "
+                        "arc instead of the ground (1.0 = exact ground "
+                        "start, smaller = closer to the goal). The "
+                        "in-flight competence metric the mix-trained "
+                        "best/ snapshots actually optimize")
     p.add_argument("--cpu", action="store_true",
                    help="evaluate on the host CPU so the rollout never "
                         "contends with a training run for the TPU tunnel "
@@ -135,7 +148,8 @@ def main(argv=None):
                                              == "learned_barrier"))
     run_policy(cfg, ts, episodes=args.episodes, seed=args.seed,
                render_path=args.render, display=args.display,
-               deterministic=not args.stochastic)
+               deterministic=not args.stochastic,
+               spawn_alpha=args.spawn_alpha)
 
 
 if __name__ == "__main__":

@@ -279,6 +279,47 @@ def test_evaluator_run_policy(tmp_path):
         assert np.isfinite(r["return"])
     # deterministic head -> identical episodes for the deterministic env
     assert results[0]["return"] == results[1]["return"]
+    # --spawn_alpha is quadrotor-only: loud failure elsewhere
+    import pytest
+    with pytest.raises(ValueError, match="quadrotor-only"):
+        run_policy(cfg, ts, episodes=1, spawn_alpha=0.5)
+
+
+def test_evaluator_spawn_alpha_quadrotor():
+    """--spawn_alpha: evaluate from the mix-curriculum arc. alpha=1 is
+    bit-identical to the stock ground reset; alpha=0.5 spawns mid-arc
+    over the obstacle (the in-flight competence metric of PARITY.md
+    'Footnote (b) measured directly')."""
+    import jax
+    import jax.numpy as jnp
+    from nlbac_tpu.envs import quadrotor as quad
+    st0, obs0 = quad.reset(jax.random.PRNGKey(3))
+    st1, obs1 = quad.spawn_at_alpha(1.0)
+    np.testing.assert_array_equal(np.asarray(st0.x), np.asarray(st1.x))
+    np.testing.assert_array_equal(np.asarray(obs0), np.asarray(obs1))
+    st, _ = quad.spawn_at_alpha(0.5)
+    x = np.asarray(st.x)
+    # mid-arc: midpoint of goal->init plus the 0.45 clearance bump
+    goal = np.asarray(quad.GOAL)
+    init = np.array([float(quad.INIT_STATE[0]), float(quad.INIT_STATE[2])])
+    mid = goal + 0.5 * (init - goal)
+    np.testing.assert_allclose(x[0], mid[0], atol=1e-6)
+    np.testing.assert_allclose(x[2], mid[1] + 0.45, atol=1e-6)
+    assert np.all(x[[1, 3, 4, 5]] == 0)
+
+    from nlbac_tpu.agent import create_train_state
+    args = build_parser().parse_args([
+        "--preset", "quadrotor", "--max_episode_steps", "8",
+        "--hidden_size", "8",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg, node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                      mlp_hidden_layers=1))
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    from nlbac_tpu.utils.evaluate import run_policy
+    res = run_policy(cfg, ts, episodes=1, spawn_alpha=0.5)
+    assert len(res) == 1 and np.isfinite(res[0]["return"])
 
 
 def test_evaluator_display_mode_headless(tmp_path):
