@@ -1,0 +1,26 @@
+#!/bin/bash
+# r9: durability BEYOND the reference budgets, 4 seeds per preset.
+#
+# The reference's own README curves stop at its budgets (200/200/400
+# eps) and its cars workload is documented to drift late (PARITY.md
+# cars-500 addendum, seed 7 only). This sweep doubles (+) the budgets
+# at HEAD with 4 seeds to characterize post-budget stability:
+#   unicycle 400 (2x) — the s12345 probe showed the low mode resolves
+#   cars     500 (2.5x) — the known drift, now with seed bands
+#   pvtol    800 (2x) — the hardest variant's long-horizon stability
+# Sequential: ONE process may own the axon tunnel at a time (CLAUDE.md).
+set -u
+cd /root/repo
+OUT=results/r9/durability
+mkdir -p "$OUT"
+run() {
+  local p=$1 eps=$2
+  echo "=== $p x4 seeds, $eps episodes ==="
+  timeout 14400 python train.py --preset "$p" --max_episodes "$eps" \
+    --n_seeds 4 --quiet --output "$OUT/$p" > "$OUT/$p.log" 2>&1
+  echo "$p rc=$?"
+}
+run unicycle 400
+run cars 500
+run pvtol 800
+echo DONE
