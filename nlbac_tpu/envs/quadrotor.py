@@ -205,14 +205,7 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
     elif mode != "anneal":
         raise ValueError(f"unknown spawn curriculum mode {mode!r} "
                          "(anneal | mix | mix_early)")
-    init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
-    pos = GOAL + alpha * (init_pos - GOAL)
-    # The straight goal->init segment passes through the OBSTACLE at
-    # (0, 0.75) (it is almost exactly the midpoint), so arc the spawn
-    # path over it: a vertical clearance bump peaking mid-path (z+0.45 at
-    # alpha=0.5, well above the 0.95 obstacle top, inside Z_RANGE) that
-    # vanishes at both ends — alpha=1 stays bit-identical to INIT_STATE.
-    pos = pos.at[1].add(0.45 * 4.0 * alpha * (1.0 - alpha))
+    pos = _arc_pos(alpha)
     jitter = (1.0 - alpha) * jax.random.uniform(
         key, (2,), minval=-CURRICULUM_JITTER, maxval=CURRICULUM_JITTER)
     pos = pos + jitter
@@ -220,6 +213,22 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
                    jnp.float32(0.0), jnp.float32(0.0)])
     st = QuadrotorState(x=x, step=jnp.int32(0))
     return st, get_obs(st.x)
+
+
+def _arc_pos(alpha):
+    """The (x, z) spawn point at ``alpha`` on the curriculum arc — the
+    ONE definition shared by :func:`reset_curriculum` (which adds
+    jitter on top) and :func:`spawn_at_alpha` (jitter-free eval).
+
+    The straight goal->init segment passes through the OBSTACLE at
+    (0, 0.75) (it is almost exactly the midpoint), so arc the spawn
+    path over it: a vertical clearance bump peaking mid-path (z+0.45 at
+    alpha=0.5, well above the 0.95 obstacle top, inside Z_RANGE) that
+    vanishes at both ends — alpha=1 stays bit-identical to INIT_STATE."""
+    a = jnp.asarray(alpha, jnp.float32)  # python float OR traced array
+    init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
+    pos = GOAL + a * (init_pos - GOAL)
+    return pos.at[1].add(0.45 * 4.0 * a * (1.0 - a))
 
 
 def spawn_at_alpha(alpha) -> Tuple[QuadrotorState, jnp.ndarray]:
@@ -230,10 +239,7 @@ def spawn_at_alpha(alpha) -> Tuple[QuadrotorState, jnp.ndarray]:
     in-flight evaluation spawn for policies trained with
     ``spawn_curriculum_mode='mix'`` (PARITY.md levers 12/18) — the
     stock :func:`reset` only ever measures the hardest spawn."""
-    a = jnp.float32(alpha)
-    init_pos = jnp.stack([INIT_STATE[0], INIT_STATE[2]])
-    pos = GOAL + a * (init_pos - GOAL)
-    pos = pos.at[1].add(0.45 * 4.0 * a * (1.0 - a))
+    pos = _arc_pos(alpha)
     x = jnp.stack([pos[0], jnp.float32(0.0), pos[1], jnp.float32(0.0),
                    jnp.float32(0.0), jnp.float32(0.0)])
     st = QuadrotorState(x=x, step=jnp.int32(0))

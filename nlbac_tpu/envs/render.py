@@ -173,16 +173,19 @@ def save_video(frames: List[np.ndarray], path: str, fps: int = 30) -> str:
             plt.close(fig)
         return out_path
 
-    attempts = ([(path, "pillow")] if path.endswith(".gif")
-                else [(path, "ffmpeg"),
-                      (path.rsplit(".", 1)[0] + ".gif", "pillow")])
+    import os
+    # os.path.splitext, NOT rsplit('.') — a dotted directory name with
+    # an extensionless filename ('results/v1.2/clip') must not have its
+    # "extension" stripped into the parent directory
+    root, ext = os.path.splitext(path)
+    attempts = ([(path, "pillow")] if ext == ".gif"
+                else [(path, "ffmpeg"), (root + ".gif", "pillow")])
     for out_path, writer in attempts:
         try:
             return _write(out_path, writer)
         except Exception:  # noqa: BLE001 — missing encoder: try the next
             continue
-    import os
-    base = path.rsplit(".", 1)[0]
+    base = root
     os.makedirs(base, exist_ok=True)
     from matplotlib.image import imsave
     for i, fr in enumerate(frames):

@@ -22,22 +22,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nlbac_tpu.agent import action_spec, create_train_state
-from nlbac_tpu.config import get_config
-from nlbac_tpu.envs import get_env
-from nlbac_tpu.nn import gaussian_policy_sample
-from nlbac_tpu.train.checkpoint import load_model_weights
+# nlbac_tpu imports are deliberately deferred into the functions below:
+# several env modules build jnp constants at import time, which
+# initializes the JAX backend — and ``--cpu`` only works if
+# ``jax.config.update("jax_platforms", "cpu")`` runs BEFORE any backend
+# init (CLAUDE.md; merely importing jax/jax.numpy is safe, creating
+# arrays is not). With eager imports the flag silently evaluated over
+# the TPU tunnel anyway.
 
 
 def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
                render_path: Optional[str] = None, deterministic=True,
                display: bool = False, spawn_alpha: Optional[float] = None):
+    from nlbac_tpu.agent import action_spec
+    from nlbac_tpu.envs import get_env
+    from nlbac_tpu.nn import gaussian_policy_sample
+
     env = get_env(cfg.env.name)
     spec = action_spec(cfg)
-    if spawn_alpha is not None and cfg.env.name != "quadrotor":
-        raise ValueError("--spawn_alpha is quadrotor-only (the spawn "
-                         f"arc of its mix curriculum); env is "
-                         f"{cfg.env.name!r}")
+    if spawn_alpha is not None:
+        if cfg.env.name != "quadrotor":
+            raise ValueError("--spawn_alpha is quadrotor-only (the "
+                             f"spawn arc of its mix curriculum); env "
+                             f"is {cfg.env.name!r}")
+        from nlbac_tpu.envs.quadrotor import CURRICULUM_ALPHA_MIN
+        if not (CURRICULUM_ALPHA_MIN <= spawn_alpha <= 1.0):
+            # same floor reset_curriculum clips to: below ~0.097 the
+            # arc point is INSIDE the goal ring (instant fake +250),
+            # and outside [0,1] is off the arc entirely
+            raise ValueError(
+                f"--spawn_alpha {spawn_alpha} must lie in "
+                f"[{CURRICULUM_ALPHA_MIN}, 1.0] (the training arc)")
 
     @jax.jit
     def rollout(policy, key):
@@ -140,7 +155,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cpu:
+        # must precede the nlbac_tpu imports below — they build jnp
+        # constants at import time, which pins the backend
         jax.config.update("jax_platforms", "cpu")
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.config import get_config
+    from nlbac_tpu.train.checkpoint import load_model_weights
+
     cfg = get_config(args.preset)
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     ts = load_model_weights(args.run_dir, ts,

@@ -44,8 +44,15 @@ def main():
     for seed in SEEDS:
         for label, sub in (("final", ""), ("best", "best")):
             d = os.path.join(root, f"s{seed}", sub).rstrip(os.sep)
-            if not os.path.isdir(d):
-                print(f"s{seed} {label}: missing ({d})")
+            # check for the weights themselves, not the directory: the
+            # run dirs' progress.txt/config.json are committed but the
+            # .pkl weights are gitignored (~12 MB for 8 sets), so a
+            # fresh clone has the directories without the weights —
+            # re-create them with the sweep command in PARITY.md
+            # "Footnote (b) measured directly"
+            if not os.path.exists(os.path.join(d, "actor.pkl")):
+                print(f"s{seed} {label}: weights not on disk ({d}) — "
+                      "re-run the harvest sweep to regenerate")
                 continue
             ts = create_train_state(cfg, jax.random.PRNGKey(0))
             ts = load_model_weights(d, ts, include_barrier=True)

@@ -62,7 +62,13 @@ def main():
     for t in range(args.max_steps):
         _, _, a = gaussian_policy_sample(ts.policy, obs[None],
                                          jax.random.PRNGKey(t), spec)
-        st, out = quad.step(st, a[0])
+        # preset env semantics, same as training/evaluate.py (kill
+        # penalty/attitude are inert on this clean flight but matter
+        # for arbitrary --run_dir weights)
+        st, out = quad.step(st, a[0],
+                            max_episode_steps=cfg.env.max_episode_steps,
+                            kill_penalty=cfg.env.kill_penalty,
+                            kill_attitude=cfg.env.kill_attitude)
         obs = out.obs
         traj.append(np.asarray(st.x))
         viol += float(out.num_violations)

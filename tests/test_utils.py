@@ -126,9 +126,12 @@ def test_save_video_gif_and_fallback(tmp_path):
     # .gif goes through the pillow writer and returns the same path
     gif = save_video(frames, str(tmp_path / "clip.gif"), fps=5)
     assert gif.endswith("clip.gif") and os.path.getsize(gif) > 0
-    # .mp4 on this encoder-less image degrades to a .gif next to it
+    # .mp4 writes directly where ffmpeg exists, and degrades to a .gif
+    # next to it on encoder-less hosts (like this image) — either way a
+    # single-file artifact lands beside the requested path
     out = save_video(frames, str(tmp_path / "clip2.mp4"), fps=5)
-    assert out.endswith("clip2.gif") and os.path.getsize(out) > 0
+    assert out in (str(tmp_path / "clip2.mp4"), str(tmp_path / "clip2.gif"))
+    assert os.path.getsize(out) > 0
 
 
 class _ToyHostEnv:
