@@ -16,9 +16,23 @@ mkdir -p "$OUT"
 run() {
   local p=$1 eps=$2
   echo "=== $p x4 seeds, $eps episodes ==="
-  timeout 14400 python train.py --preset "$p" --max_episodes "$eps" \
-    --n_seeds 4 --quiet --output "$OUT/$p" > "$OUT/$p.log" 2>&1
-  echo "$p rc=$?"
+  # SIGKILL fallback (-k) so a timeout never leaves a live python
+  # attached to the axon tunnel (a stale client hangs every later op —
+  # CLAUDE.md), and one retry per preset (tunnel init windows swing
+  # 15s-20min; an identical retry after a 20-min stall took 82s).
+  timeout -k 30 14400 python train.py --preset "$p" \
+    --max_episodes "$eps" --n_seeds 4 --quiet \
+    --output "$OUT/$p" > "$OUT/$p.log" 2>&1
+  local rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "$p rc=$rc — retrying once"
+    sleep 30
+    timeout -k 30 14400 python train.py --preset "$p" \
+      --max_episodes "$eps" --n_seeds 4 --quiet \
+      --output "$OUT/${p}_retry" > "$OUT/${p}_retry.log" 2>&1
+    rc=$?
+  fi
+  echo "$p rc=$rc"
 }
 run unicycle 400
 run cars 500
