@@ -374,6 +374,30 @@ def test_examples_fit_dynamics_runs():
     assert "fitted" in out.stdout
 
 
+def test_evaluate_import_initializes_no_backend():
+    """Importing nlbac_tpu.utils.evaluate must NOT initialize a JAX
+    backend: the --cpu flag works only if the config update in main()
+    runs before any backend init, so the module's nlbac_tpu imports
+    are deferred (several env modules build jnp constants at import
+    time). Regression test for the silently-ineffective --cpu bug."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import nlbac_tpu.utils.evaluate\n"
+        "from jax._src import xla_bridge\n"
+        "b = list(getattr(xla_bridge, '_backends', {}))\n"
+        "assert not b, f'backend initialized at import: {b}'\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=root)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout
+
+
 def test_save_best_checkpoint(tmp_path):
     """--save_best: the best/ snapshot is the argmax of the trailing-
     window mean over progress.txt (strictly-greater semantics — the
