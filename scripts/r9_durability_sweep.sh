@@ -8,6 +8,7 @@
 #   unicycle 400 (2x) — the s12345 probe showed the low mode resolves
 #   cars     500 (2.5x) — the known drift, now with seed bands
 #   pvtol    800 (2x) — the hardest variant's long-horizon stability
+#   nbc_unicycle 400 / nbc_pvtol 420 (2x) — the learned-barrier family
 # Sequential: ONE process may own the axon tunnel at a time (CLAUDE.md).
 set -u
 cd /root/repo
@@ -37,4 +38,6 @@ run() {
 run unicycle 400
 run cars 500
 run pvtol 800
+run nbc_unicycle 400
+run nbc_pvtol 420
 echo DONE
