@@ -26,3 +26,28 @@ def get_builder(kind: str):
         raise ValueError(
             f"unknown constraint kind {kind!r}; options: {list(_BUILDERS)}")
     return _BUILDERS[kind]
+
+
+def register_builder(kind: str, module) -> None:
+    """Register a third-party constraint builder so
+    ``ConstraintConfig(kind=...)`` resolves to it (the companion of
+    :func:`nlbac_tpu.envs.register_env`; examples/custom_env.py).
+
+    ``module`` exposes::
+
+        terms(ccfg, ncfg, node_params, field, lyap_params, obs, action,
+              lyap_t, key, dt, include_clf=True, **extras) -> (B, K)
+        NUM_PRIMARY: int   # K with the CLF column
+        NUM_BACKUP: int    # K of the backup (CBF-only) branch
+
+    Same collision semantics as register_env: re-registering the same
+    object is a no-op, shadowing a different one fails loudly."""
+    if kind in _BUILDERS and _BUILDERS[kind] is not module:
+        raise ValueError(f"constraint kind {kind!r} is already registered")
+    required = ("terms", "NUM_PRIMARY", "NUM_BACKUP")
+    missing = [a for a in required if not hasattr(module, a)]
+    if missing:
+        raise ValueError(
+            f"constraint builder for {kind!r} is missing required "
+            f"attributes {missing}")
+    _BUILDERS[kind] = module

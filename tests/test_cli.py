@@ -358,6 +358,67 @@ def test_n_seeds_rejects_single_seed_flags():
             main(["--preset", "unicycle", "--n_seeds", "2"] + extra)
 
 
+def test_register_env_and_builder_validation():
+    """Runtime registration (register_env / register_builder): contract
+    attributes are validated, collisions fail loudly, re-registering
+    the same object is a no-op."""
+    import pytest
+
+    from nlbac_tpu.constraints import get_builder, register_builder
+    from nlbac_tpu.envs import get_env, register_env
+
+    class BadEnv:
+        pass
+
+    with pytest.raises(ValueError, match="missing required"):
+        register_env("bad", BadEnv)
+    with pytest.raises(ValueError, match="already registered"):
+        register_env("unicycle", BadEnv.__class__)  # shadowing a builtin
+    with pytest.raises(ValueError, match="missing required"):
+        register_builder("bad", BadEnv)
+    with pytest.raises(ValueError, match="already registered"):
+        register_builder("unicycle", BadEnv)
+
+    # a conforming object registers, resolves, and re-registers no-op
+    uni = get_env("unicycle")
+
+    class GoodEnv:
+        SPEC = uni.SPEC._replace(name="toy_reg_test")
+        reset = staticmethod(uni.reset)
+        step = staticmethod(uni.step)
+        obs_to_state = staticmethod(uni.obs_to_state)
+        state_to_obs = staticmethod(uni.state_to_obs)
+
+    register_env("toy_reg_test", GoodEnv)
+    register_env("toy_reg_test", GoodEnv)  # same object: no-op
+    assert get_env("toy_reg_test") is GoodEnv
+
+    class GoodBuilder:
+        NUM_PRIMARY = 2
+        NUM_BACKUP = 1
+        terms = staticmethod(get_builder("unicycle").terms)
+
+    register_builder("toy_reg_test", GoodBuilder)
+    assert get_builder("toy_reg_test") is GoodBuilder
+
+
+def test_examples_custom_env_runs():
+    """examples/custom_env.py: a runtime-registered env + constraint
+    builder trains end-to-end through the shared fused episode program
+    (goal learned, zero late safety cost — asserted inside the
+    example), run as a subprocess the way a user would."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "custom_env.py"),
+         "--cpu"],
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "zero late safety cost" in out.stdout
+
+
 def test_examples_fit_dynamics_runs():
     """examples/fit_dynamics.py exercises the public ode + NODE surface
     end-to-end (odeint rk4 data generation, node_train_step fit to
