@@ -24,7 +24,10 @@ def get_builder(kind: str):
     configuration (SURVEY.md §7 item 5)."""
     if kind not in _BUILDERS:
         raise ValueError(
-            f"unknown constraint kind {kind!r}; options: {list(_BUILDERS)}")
+            f"unknown constraint kind {kind!r}; options: "
+            f"{list(_BUILDERS)}. Third-party builders must be "
+            "registered with nlbac_tpu.constraints.register_builder in "
+            "EVERY process (registration is per-process, not persisted)")
     return _BUILDERS[kind]
 
 

@@ -12,7 +12,12 @@ _ENVS = {"unicycle": unicycle, "cars": cars, "pvtol": pvtol,
 def get_env(name: str):
     """name -> env module (the build_env factory, UNI/build_env.py:8-15)."""
     if name not in _ENVS:
-        raise ValueError(f"unknown env {name!r}; options: {list(_ENVS)}")
+        raise ValueError(
+            f"unknown env {name!r}; options: {list(_ENVS)}. Third-party "
+            "envs must be registered with nlbac_tpu.envs.register_env "
+            "in EVERY process — e.g. evaluating a custom-env run dir "
+            "requires importing/registering your env module first "
+            "(registration is per-process, not persisted)")
     return _ENVS[name]
 
 

@@ -97,7 +97,42 @@ def _code_hash() -> str:
     return _code_hash_cache
 
 
-def _cache_key(cfg) -> str:
+def _extension_hash(cfg) -> str | None:
+    """Source hash of RUNTIME-REGISTERED env/constraint objects traced
+    into the program. In-package modules are already covered by
+    :func:`_code_hash`; a third-party object installed via
+    ``register_env`` / ``register_builder`` (examples/custom_env.py)
+    must contribute its own source to the key, or an edited extension
+    would silently be served the OLD lowered program. Returns None
+    when a registered object's source cannot be read (REPL-defined
+    class, exec'd code) — the caller must then SKIP the cache
+    entirely (plain jit) rather than risk staleness."""
+    import inspect
+
+    import nlbac_tpu
+    from nlbac_tpu.constraints import get_builder
+    from nlbac_tpu.envs import get_env
+
+    pkg_root = os.path.dirname(os.path.abspath(nlbac_tpu.__file__))
+    h = hashlib.sha256()
+    external = False
+    for obj in (get_env(cfg.env.name), get_builder(cfg.constraint.kind)):
+        try:
+            src_file = os.path.abspath(inspect.getfile(obj))
+        except (TypeError, OSError):
+            return None
+        if src_file.startswith(pkg_root + os.sep):
+            continue  # builtin: covered by _code_hash
+        external = True
+        try:
+            h.update(src_file.encode())
+            h.update(inspect.getsource(obj).encode())
+        except (OSError, TypeError):
+            return None
+    return h.hexdigest()[:16] if external else ""
+
+
+def _cache_key(cfg, ext_hash: str = "") -> str:
     dev = jax.devices()[0]
     cfg_dict = dict(cfg.to_dict())
     # the run section (seed, max_episodes, output naming, wandb) only
@@ -109,7 +144,7 @@ def _cache_key(cfg) -> str:
         {"cfg": cfg_dict, "jax": jax.__version__,
          "backend": jax.default_backend(),
          "device": getattr(dev, "device_kind", str(dev)),
-         "code": _code_hash()},
+         "code": _code_hash(), "ext": ext_hash},
         sort_keys=True, default=str)
     return hashlib.sha256(ident.encode()).hexdigest()[:24]
 
@@ -134,9 +169,16 @@ def cached_episode_runner(cfg, example_args: Sequence[Any],
     try:
         from jax import export as jexport
 
+        ext_hash = _extension_hash(cfg)
+        if ext_hash is None:
+            # a runtime-registered env/builder whose source we cannot
+            # hash: caching would risk serving a stale program after an
+            # extension edit — plain jit is the only safe path
+            return plain()
         register_export_types()
         cache_dir = cache_dir or _DEFAULT_CACHE_DIR
-        path = os.path.join(cache_dir, f"episode-{_cache_key(cfg)}.jaxexport")
+        path = os.path.join(
+            cache_dir, f"episode-{_cache_key(cfg, ext_hash)}.jaxexport")
         if os.path.exists(path):
             with open(path, "rb") as f:
                 exported = jexport.deserialize(f.read())

@@ -26,11 +26,17 @@ run() {
     --output "$OUT/$p" > "$OUT/$p.log" 2>&1
   local rc=$?
   if [ "$rc" -ne 0 ]; then
+    # move the truncated first attempt ASIDE so the retry lands at the
+    # canonical $OUT/$p path every downstream consumer (figures,
+    # analysis, committed layout) reads — a partial tree left in place
+    # would be silently analyzed as the real run
     echo "$p rc=$rc — retrying once"
+    mv "$OUT/$p" "$OUT/${p}_failed_attempt" 2>/dev/null || true
+    mv "$OUT/$p.log" "$OUT/${p}_failed_attempt.log" 2>/dev/null || true
     sleep 30
     timeout -k 30 14400 python train.py --preset "$p" \
       --max_episodes "$eps" --n_seeds 4 --quiet \
-      --output "$OUT/${p}_retry" > "$OUT/${p}_retry.log" 2>&1
+      --output "$OUT/$p" > "$OUT/$p.log" 2>&1
     rc=$?
   fi
   echo "$p rc=$rc"

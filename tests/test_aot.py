@@ -74,3 +74,67 @@ def test_aot_cache_key_separates_configs(tmp_path):
         cfg1, run=dataclasses.replace(cfg1.run, seed=99,
                                       max_episodes=123))
     assert _cache_key(cfg1) == _cache_key(cfg3)
+
+
+def test_aot_extension_hash_keys_registered_modules(tmp_path):
+    """Runtime-registered env/builder source must key the AOT cache:
+    builtin presets hash to the empty sentinel (covered by _code_hash),
+    an external module contributes its source (an edit changes the
+    key), and an unhashable object (no readable source) returns None so
+    the caller skips the cache entirely."""
+    import sys
+    import textwrap
+
+    import nlbac_tpu.constraints as cmod
+    import nlbac_tpu.envs as emod
+    from nlbac_tpu.train.aot import _cache_key, _extension_hash
+
+    cfg = _tiny_cfg()
+    assert _extension_hash(cfg) == ""  # builtin preset
+
+    # an external env module on disk: source contributes to the key
+    mod_path = tmp_path / "ext_env_mod.py"
+    src = textwrap.dedent("""
+        from nlbac_tpu.envs import unicycle as _u
+        SPEC = _u.SPEC
+        reset = _u.reset
+        step = _u.step
+        obs_to_state = _u.obs_to_state
+        state_to_obs = _u.state_to_obs
+    """)
+    mod_path.write_text(src)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import ext_env_mod
+
+        emod._ENVS["ext_env_test"] = ext_env_mod
+        cfg_ext = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env, name="ext_env_test"))
+        h1 = _extension_hash(cfg_ext)
+        assert h1 and h1 != ""
+        assert _cache_key(cfg_ext, h1) != _cache_key(cfg, "")
+
+        # edit the module source -> different hash (stale-cache guard)
+        mod_path.write_text(src + "\n# edited\nX = 1\n")
+        import importlib
+
+        importlib.reload(ext_env_mod)
+        emod._ENVS["ext_env_test"] = ext_env_mod
+        h2 = _extension_hash(cfg_ext)
+        assert h2 != h1
+
+        # an object with unreadable source -> None (skip the cache)
+        class NoSource:
+            SPEC = ext_env_mod.SPEC
+            reset = staticmethod(ext_env_mod.reset)
+            step = staticmethod(ext_env_mod.step)
+            obs_to_state = staticmethod(ext_env_mod.obs_to_state)
+            state_to_obs = staticmethod(ext_env_mod.state_to_obs)
+
+        NoSource.__module__ = "__nonexistent__"
+        emod._ENVS["ext_env_test"] = NoSource
+        assert _extension_hash(cfg_ext) is None
+    finally:
+        sys.path.remove(str(tmp_path))
+        emod._ENVS.pop("ext_env_test", None)
+        cmod._BUILDERS.pop("ext_env_test", None)

@@ -389,17 +389,25 @@ def test_register_env_and_builder_validation():
         obs_to_state = staticmethod(uni.obs_to_state)
         state_to_obs = staticmethod(uni.state_to_obs)
 
-    register_env("toy_reg_test", GoodEnv)
-    register_env("toy_reg_test", GoodEnv)  # same object: no-op
-    assert get_env("toy_reg_test") is GoodEnv
-
     class GoodBuilder:
         NUM_PRIMARY = 2
         NUM_BACKUP = 1
         terms = staticmethod(get_builder("unicycle").terms)
 
-    register_builder("toy_reg_test", GoodBuilder)
-    assert get_builder("toy_reg_test") is GoodBuilder
+    import nlbac_tpu.constraints as _cmod
+    import nlbac_tpu.envs as _emod
+
+    try:
+        register_env("toy_reg_test", GoodEnv)
+        register_env("toy_reg_test", GoodEnv)  # same object: no-op
+        assert get_env("toy_reg_test") is GoodEnv
+        register_builder("toy_reg_test", GoodBuilder)
+        assert get_builder("toy_reg_test") is GoodBuilder
+    finally:
+        # the registries are process-global — leaking the test entries
+        # would also make a re-run's fresh class objects collide
+        _emod._ENVS.pop("toy_reg_test", None)
+        _cmod._BUILDERS.pop("toy_reg_test", None)
 
 
 def test_examples_custom_env_runs():
@@ -448,8 +456,14 @@ def test_evaluate_import_initializes_no_backend():
     code = (
         "import nlbac_tpu.utils.evaluate\n"
         "from jax._src import xla_bridge\n"
-        "b = list(getattr(xla_bridge, '_backends', {}))\n"
+        # hard attribute access: if a jax upgrade moves the private
+        # _backends cache this test must FAIL (not pass vacuously)
+        "b = list(xla_bridge._backends)\n"
         "assert not b, f'backend initialized at import: {b}'\n"
+        # positive control: the probe itself must detect inits —
+        # importing an env module (module-level jnp constants) flips it
+        "import nlbac_tpu.envs.quadrotor\n"
+        "assert list(xla_bridge._backends), 'probe cannot see inits'\n"
         "print('clean')\n"
     )
     out = subprocess.run(
