@@ -225,6 +225,15 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                      ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         keys = jax.random.split(key, 8)
         obs, action = batch["obs"], batch["action"]
+        if obs.shape[0] != scfg.batch_size:
+            # filtered_means normalizes constraint columns by the
+            # CONFIGURED batch size — a mismatched pre-sampled batch
+            # (dp/update_presampled entry points) would silently
+            # mis-scale every constraint mean and the multiplier ascent
+            raise ValueError(
+                f"batch has {obs.shape[0]} rows but cfg.sac.batch_size="
+                f"{scfg.batch_size}; constraint means are normalized by "
+                "the configured size, so they must match")
         reward = batch["reward"][:, None]
         constraint = batch["constraint"][:, None]
         mask = batch["mask"][:, None]
@@ -330,11 +339,10 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         else:
             lag_live = True
 
-        def make_resampler(policy_params, rkey):
+        def make_resampler(policy_params):
             def resample(o, k):
                 a, _, _ = sample_fn(policy_params, o, k)
                 return a
-            del rkey
             return resample
 
         term_kwargs = dict(
@@ -350,7 +358,7 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
             min_q = jnp.minimum(q1, q2)
             loss1 = jnp.mean(jax.lax.stop_gradient(alpha) * logp - min_q)
             terms = builder.terms(obs=obs, action=pi, key=keys[4],
-                                  resample=make_resampler(p, None),
+                                  resample=make_resampler(p),
                                   include_clf=True, **term_kwargs)
             loss2, lam_new, rho1 = lag_primary_loss(
                 ccfg, terms, ts.lag.lam, ts.lag.rho, do_lam,
@@ -408,7 +416,7 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                     loss1 = jnp.mean(
                         jax.lax.stop_gradient(backup_alpha) * blogp - min_q)
                     terms = builder.terms(obs=obs, action=bpi, key=keys[6],
-                                          resample=make_resampler(p, None),
+                                          resample=make_resampler(p),
                                           include_clf=False, **term_kwargs)
                     loss2, blam_new, brho_new = lag_backup_loss(
                         ccfg, terms, blam, brho, do_lam, scfg.batch_size,

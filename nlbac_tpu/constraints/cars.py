@@ -43,14 +43,23 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
     """``resample(obs_batch, key) -> action_batch`` draws u_{t+1} from the
     controller being optimized (primary resamples the primary policy,
     backup resamples the backup policy; CARS/...sac_cbf_clf.py:447,590)."""
+    if ccfg.horizon != 2:
+        # the rel-degree-2 HOCBF chain below is fixed at two NODE steps
+        # (CARS/sac_cbf_clf.py:437-460) — the knob must not pretend to
+        # extend it
+        raise ValueError(
+            f"cars HOCBF builder requires horizon=2 (rel-degree-2 "
+            f"composition); got {ccfg.horizon}")
     x0 = env.obs_to_state(obs)  # (B, 10)
 
     x1 = predict_next_state(ncfg, node_params, x0, action, dt, t=t,
                             field=field)  # (B, 10)
 
     obs1 = env.state_to_obs(x1)
-    u1 = resample(jax.lax.stop_gradient(obs1), key)
-    u1 = jax.lax.stop_gradient(u1)  # only u_t carries gradient (ref :455)
+    # only u_t carries gradient (ref :455): the single stop on u1 is
+    # the load-bearing detach (it prunes every path through the
+    # resample, including obs1)
+    u1 = jax.lax.stop_gradient(resample(obs1, key))
     x2 = predict_next_state(ncfg, node_params, x1, u1, dt, t=next_t,
                             field=field)
 

@@ -96,6 +96,17 @@ def primary_loss(cfg: ConstraintConfig, terms: jnp.ndarray, lam, rho,
     # preset), but the split matters if cost_limit is configured.
     m = filtered_means(terms, batch_size)  # (K,) raw: ascent only
     c = m - cfg.cost_limit  # (K,) shifted: ratio + loss
+    if cfg.use_ratio and terms.shape[1] < 2:
+        # a CLF-only builder (no CBF columns) has nothing to balance —
+        # jnp.mean over the empty c[:-1] slice would be NaN and poison
+        # the whole policy loss. Loud failure at trace time instead
+        # (reachable only through register_builder extensions; every
+        # reference family has >= 2 columns).
+        raise ValueError(
+            "use_ratio=True requires at least one CBF column before "
+            f"the CLF (builder produced {terms.shape[1]} column(s)); "
+            "set ConstraintConfig(use_ratio=False) for a CLF-only "
+            "builder")
     if cfg.use_ratio:
         other = jnp.abs(jnp.mean(c[:-1]))
         lya = jnp.abs(c[-1])

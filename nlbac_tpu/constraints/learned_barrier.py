@@ -34,9 +34,8 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
         pred = predict_next_state(ncfg, node_params, state, action, dt,
                                   field=field)  # (B, 3)
         obs1 = unicycle_env.state_to_obs(pred)  # (B, 7) live
-        l_p = ccfg.lookahead
-        clf_in_next = pred[:, :2] + l_p * jnp.stack(
-            [jnp.cos(pred[:, 2]), jnp.sin(pred[:, 2])], axis=-1)
+        from nlbac_tpu.constraints.unicycle import _lookahead
+        clf_in_next = _lookahead(pred[:, :2], pred[:, 2], ccfg.lookahead)
     elif env_name == "quadrotor":
         from nlbac_tpu.envs import quadrotor as quad_env
         state = quad_env.obs_to_state(obs)
@@ -64,8 +63,10 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
         raise ValueError(f"learned_barrier: unsupported env {env_name!r}")
 
     b_t = jax.lax.stop_gradient(barrier_apply(barrier_params, obs, action))
-    u1 = resample(jax.lax.stop_gradient(obs1), key)
-    u1 = jax.lax.stop_gradient(u1)
+    # one stop on u1 prunes every gradient path through the resample;
+    # obs1 itself stays LIVE for b_t1 (gradient into the action via the
+    # NODE prediction — NBC-UNI/sac_cbf_clf.py:425-440)
+    u1 = jax.lax.stop_gradient(resample(obs1, key))
     b_t1 = barrier_apply(barrier_params, obs1, u1)
     barrier = -(b_t1 - b_t) - ccfg.gamma_b * b_t  # (B, 1)
 

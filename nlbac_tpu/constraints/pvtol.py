@@ -48,8 +48,10 @@ def _chain(ncfg, node_params, field, state7, action, dt, resample, key,
         states.append(s)
         if k + 1 < horizon:
             obs_pred = env.state_to_obs(s)
-            u = resample(jax.lax.stop_gradient(obs_pred), keys[k])
-            u = jax.lax.stop_gradient(u)
+            # one stop on the resampled action prunes every gradient
+            # path through the resample — only u_t carries gradient
+            # (PVTOL/sac_cbf_clf.py:483-490)
+            u = jax.lax.stop_gradient(resample(obs_pred, keys[k]))
     return states
 
 
@@ -66,6 +68,15 @@ def _hocbf3(hs, gamma_b):
 def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
           lyap_params, obs, action, lyap_t, key, dt, resample=None,
           include_clf: bool = True, **_):
+    if ccfg.horizon != 3:
+        # the rel-degree-3 HOCBF composition below consumes exactly the
+        # 4 horizon states t..t+3 — a different horizon would either
+        # index out of bounds or roll the NODE further while the
+        # residual silently ignores the extra states
+        raise ValueError(
+            f"pvtol HOCBF builder requires horizon=3 (rel-degree-3 "
+            f"composition, PVTOL/sac_cbf_clf.py:459-534); got "
+            f"{ccfg.horizon}")
     state7 = env.obs_to_state(obs)  # (B, 7)
     states = _chain(ncfg, node_params, field, state7, action, dt, resample,
                     key, horizon=ccfg.horizon)

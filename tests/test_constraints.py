@@ -332,3 +332,29 @@ def test_ratio_uses_cost_limit_shifted_means():
                 + rho_exp / 2 * ratio ** 2 * c[2] ** 2)
     np.testing.assert_allclose(np.asarray(lam2), lam_exp, rtol=1e-6)
     np.testing.assert_allclose(float(loss), loss_exp, rtol=1e-5)
+
+
+def test_non_preset_config_guards():
+    """Robustness guards on non-preset configurations (r9 review): the
+    hard-coded HOCBF horizons fail loudly instead of crashing or
+    silently ignoring the knob, and a CLF-only builder with use_ratio
+    raises instead of NaN-ing the policy loss on the empty CBF slice."""
+    import dataclasses as dc
+
+    from nlbac_tpu.constraints import cars as ccars
+    from nlbac_tpu.constraints import pvtol as cpvtol
+
+    cfg_p = dc.replace(get_config("pvtol").constraint, horizon=1)
+    with pytest.raises(ValueError, match="horizon=3"):
+        cpvtol.terms(cfg_p, None, None, None, None, None, None, None,
+                     None, 0.02)
+    cfg_c = dc.replace(get_config("cars").constraint, horizon=3)
+    with pytest.raises(ValueError, match="horizon=2"):
+        ccars.terms(cfg_c, None, None, None, None, None, None, None,
+                    None, 0.02)
+
+    cfg_r = ConstraintConfig(kind="unicycle", use_ratio=True)
+    clf_only = jnp.ones((4, 1))  # one column: CLF only
+    with pytest.raises(ValueError, match="CLF-only"):
+        primary_loss(cfg_r, clf_only, jnp.zeros(1), jnp.float32(1.0),
+                     do_lambda_update=jnp.array(False), batch_size=4)
