@@ -186,7 +186,11 @@ def cached_episode_runner(cfg, example_args: Sequence[Any],
         exported = jexport.export(plain())(*example_args)
         blob = exported.serialize()
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + ".tmp"
+        # pid-unique scratch name: two same-config processes missing
+        # the cache together (the standard multi-process seed-sweep
+        # pattern) must not truncate each other's in-progress write —
+        # os.replace then publishes whichever complete blob lands last
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)

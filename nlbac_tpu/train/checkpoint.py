@@ -106,15 +106,29 @@ class AsyncCheckpointer:
                 np.asarray(key), int(total_steps), int(i_episode))
 
         def write():
-            save_checkpoint(path, *args, extra=extra)
+            try:
+                save_checkpoint(path, *args, extra=extra)
+            except BaseException as e:  # noqa: BLE001 — surfaced in wait()
+                self._error = e
 
+        self._error = None
         self._thread = threading.Thread(target=write, daemon=True)
         self._thread.start()
 
     def wait(self) -> None:
+        """Join the in-flight write and RE-RAISE its failure: a
+        swallowed ENOSPC/permission error would let the run 'complete
+        successfully' with a stale or missing checkpoint.npz,
+        discovered only when a later --resume fails."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+            err = getattr(self, "_error", None)
+            if err is not None:
+                self._error = None
+                raise RuntimeError(
+                    f"background checkpoint write failed: {err!r}"
+                ) from err
 
 
 def _restore_npz(path, templates):
@@ -208,8 +222,14 @@ def save_model_weights(output_dir: str, ts, include_barrier: bool = False
     if include_barrier:
         files["barrier.pkl"] = ts.barrier
     for name, tree in files.items():
-        with open(os.path.join(output_dir, name), "wb") as f:
+        # atomic like save_checkpoint's npz path: --save_best rewrites
+        # these on every new best window, and a mid-dump kill must not
+        # destroy the previous good snapshot
+        dst = os.path.join(output_dir, name)
+        tmp = f"{dst}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(_to_host(tree), f)
+        os.replace(tmp, dst)
 
 
 def load_model_weights(output_dir: str, ts, include_barrier: bool = False):

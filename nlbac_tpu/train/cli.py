@@ -353,21 +353,30 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     for i_episode in range(start_episode, cfg.run.max_episodes):
         key, kep = jax.random.split(key)
         phase = "episode_first" if i_episode == 0 else "episode"
+        # profile the second episode THIS PROCESS runs (episode 1 on a
+        # fresh start): under --resume the old `i_episode == 1` test
+        # never fired and the user waited out the run for an empty
+        # trace dir. start_episode+1 skips the compile episode either
+        # way, so the trace captures a steady-state episode.
+        profile_this = profile_dir and i_episode == start_episode + 1
         with timer.time(phase):
-            if profile_dir and i_episode == 1:
+            if profile_this:
                 jax.profiler.start_trace(profile_dir)
             ts, rl_replay, node_replay, m, total_steps = run_episode(
                 ts, rl_replay, node_replay, kep, jnp.int32(i_episode),
                 total_steps)
             m.reward.block_until_ready()
-            if profile_dir and i_episode == 1:
+            if profile_this:
                 jax.profiler.stop_trace()
         # ONE pipelined D2H fetch of the episode metrics: the float()/
         # int() reads below would otherwise each pay a tunnel round trip
         # (~60ms x ~15 scalars x episode count added ~190s to a 200-
         # episode run — measured; same pathology as checkpoint._to_host)
-        m = _to_host(m)
-        total_steps_host = int(_to_host(total_steps))
+        # (ts.updates and total_steps ride the same fetch — a separate
+        # sequential read each paid its own round trip per episode)
+        m, total_steps_host, updates_host = _to_host(
+            (m, total_steps, ts.updates))
+        total_steps_host = int(total_steps_host)
 
         # best-checkpoint selection: strictly-greater trailing mean wins
         # (first full window always saves), weights in the reference file
@@ -452,7 +461,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
                   "alpha_loss", "alpha", "node_loss", "rho", "lam_max"):
             logger.log_tabular(k)
-        logger.log_tabular("updates", int(ts.updates))
+        logger.log_tabular("updates", int(updates_host))
         logger.log_tabular("backup_steps", int(m.backup_steps))
         logger.dump_tabular()
 
@@ -552,9 +561,20 @@ def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
                      safety_cost_train=float(m.safety_cost),
                      goal_met=float(m.goal_met),
                      reached=float(m.reached))
+            # same train-metric columns as single-seed train(): the
+            # rho/lam_max columns exist so multiplier-driven collapse
+            # is diagnosable from progress.txt alone, and the
+            # multi-seed path is HOW the sweeps run — the data is
+            # already on host via the pipelined fetch above
+            for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+                      "alpha_loss", "alpha", "node_loss", "rho",
+                      "lam_max"):
+                lg.store(**{k: float(m.train[k])})
             for k in ("Episode", "episode_steps", "reward_train",
                       "cost_train", "safety_cost_train", "goal_met",
-                      "reached"):
+                      "reached", "qf1_loss", "qf2_loss", "lf_loss",
+                      "policy_loss", "alpha_loss", "alpha", "node_loss",
+                      "rho", "lam_max"):
                 lg.log_tabular(k)
             lg.dump_tabular()
         if not quiet:
@@ -607,6 +627,18 @@ def main(argv=None):
     if args.mode == "eval":
         # evaluate reference-layout weights from --output (which then
         # points at a run directory, not a parent folder)
+        # Loud failure beats silent loss (same rule as the n_seeds>1
+        # branch): these flags have no eval-mode meaning, and silently
+        # ignoring e.g. --n_seeds would pass one seed's rollouts off as
+        # a multi-seed result.
+        for flag in ("resume", "checkpoint", "profile_dir", "wandb"):
+            if getattr(args, flag, None):
+                raise SystemExit(
+                    f"--{flag} has no effect with --mode eval; drop it")
+        if args.n_seeds > 1:
+            raise SystemExit(
+                "--n_seeds has no effect with --mode eval — evaluate "
+                "each s<seed>/ run dir separately")
         from nlbac_tpu.agent import create_train_state
         from nlbac_tpu.train.checkpoint import load_model_weights
         from nlbac_tpu.utils.evaluate import run_policy
