@@ -181,6 +181,14 @@ def reset_curriculum(key, i_episode, curriculum_episodes: int,
             f"[{CURRICULUM_ALPHA_MIN}, 1): below the floor the spawn "
             "lands inside the goal ring; at 1 the mixture degenerates "
             "to ground-only (use mode='anneal' for that)")
+    if curriculum_episodes <= 0:
+        # 0/0 inside the clip would make alpha (and every spawn
+        # coordinate downstream) NaN — a silent poisoned episode. The
+        # driver gates its own call on eps > 0; direct API callers get
+        # the same loud contract.
+        raise ValueError(
+            f"curriculum_episodes={curriculum_episodes} must be > 0 "
+            "(use reset() for the plain ground spawn)")
     alpha = jnp.clip(i_episode.astype(jnp.float32)
                      / jnp.float32(curriculum_episodes),
                      CURRICULUM_ALPHA_MIN, 1.0)
@@ -327,9 +335,10 @@ def step(state: QuadrotorState, action, *, barrier_B: float = 0.0,
         lyap_t=lyap_t, lyap_t1=pos, barrier_signal=f32(barrier),
         done=done, goal_met=goal_met, reached=f32(0.0),
         num_violations=n_viol, safety_cost=f32(cost),
-        viol_breakdown=jnp.stack([collision.astype(f32),
-                                  out_of_range.astype(f32), f32(0),
-                                  f32(0)]),
+        # slot 0 carries the per-step TOTAL (the base.py convention
+        # unicycle/cars follow); families in slots 1-2
+        viol_breakdown=jnp.stack([n_viol, collision.astype(f32),
+                                  out_of_range.astype(f32), f32(0)]),
         cost_breakdown=jnp.stack([f32(cost), f32(0), f32(0), f32(0)]),
     )
     return QuadrotorState(x=x_new, step=step_count), out

@@ -35,15 +35,15 @@ def _to_rgb(fig) -> np.ndarray:
 def render_unicycle(state, trajectory: Optional[np.ndarray] = None
                     ) -> np.ndarray:
     """One rgb frame of the unicycle world. state: (3,) [x, y, theta]."""
+    from matplotlib.patches import Circle
+
     from nlbac_tpu.envs import unicycle as env
     fig, ax = _canvas()
     for loc in np.asarray(env.HAZARDS):
-        ax.add_patch(__import__("matplotlib.patches", fromlist=["Circle"])
-                     .Circle(loc, env.HAZARD_RADIUS, color="red",
-                             alpha=0.6))
+        ax.add_patch(Circle(loc, env.HAZARD_RADIUS, color="red",
+                            alpha=0.6))
     goal = np.asarray(env.GOAL)
-    ax.add_patch(__import__("matplotlib.patches", fromlist=["Circle"])
-                 .Circle(goal, env.GOAL_SIZE, color="green", alpha=0.6))
+    ax.add_patch(Circle(goal, env.GOAL_SIZE, color="green", alpha=0.6))
     s = np.asarray(state)
     ax.plot(s[0], s[1], "o", color="steelblue", markersize=8)
     ax.plot([s[0], s[0] + 0.4 * np.cos(s[2])],
@@ -246,7 +246,10 @@ class LiveViewer:
             self._im.set_data(frame)
             self._fig.canvas.draw_idle()
             plt.pause(0.001)
-        if len(self.frames) < self._max_kept:
+        elif len(self.frames) < self._max_kept:
+            # frame collection is the HEADLESS degradation (docstring):
+            # an interactive session must not silently accumulate
+            # ~720KB/frame across long rollouts
             self.frames.append(frame)
         return frame
 

@@ -58,6 +58,20 @@ def make_field(cfg: NodeConfig):
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     if cfg.form == "control_affine":
+        # reject option combinations this form does not implement —
+        # silently ignoring normalize (or crashing deep in the solver
+        # on the missing time slot) corrupts/confuses the experiment
+        if cfg.normalize:
+            raise ValueError(
+                "normalize=True is only implemented for form='mlp' "
+                "(the quadrotor normalized non-affine form, README.md:"
+                "194-195); the control-affine field would silently "
+                "ignore it")
+        if cfg.time_input:
+            raise ValueError(
+                "time_input=True is only implemented for form='mlp' "
+                "(the cars time-input form); the control-affine field "
+                "does not carry a time slot")
 
         def field(params, t, s):
             x = s[..., :n_s]
@@ -74,6 +88,11 @@ def make_field(cfg: NodeConfig):
         if cfg.normalize:
             # Quadrotor form: normalized inputs, denormalized outputs
             # (reference README.md:194-195)
+            if cfg.state_scale is None or cfg.action_scale is None:
+                raise ValueError(
+                    "normalize=True requires state_scale and "
+                    "action_scale (per-dimension scales; see the "
+                    "quadrotor preset) — both are None")
             sx = jnp.asarray(cfg.state_scale, jnp.float32)
             su = jnp.asarray(cfg.action_scale, jnp.float32)
             extra = jnp.ones((1,), jnp.float32) if cfg.time_input else \

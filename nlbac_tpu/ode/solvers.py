@@ -140,7 +140,11 @@ def odeint_grid(field: Field, params, y0, ts, *, method: str = "euler",
         return y_next, y_next
 
     _, ys = lax.scan(interval, y0, (ts[:-1], ts[1:]))
-    return jnp.concatenate([y0[None], ys], axis=0)
+    # prepend y0 leaf-wise so the documented pytree-state contract holds
+    # for the grid solver too (ys stacks each leaf along a new axis 0)
+    return jax.tree.map(
+        lambda y0_leaf, ys_leaf: jnp.concatenate(
+            [y0_leaf[None], ys_leaf], axis=0), y0, ys)
 
 
 # ---------------------------------------------------------------------------

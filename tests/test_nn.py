@@ -254,3 +254,27 @@ def test_stacked_twin_q_episode_equivalence():
         rewards[flag] = float(m.reward)
     np.testing.assert_allclose(rewards[True], rewards[False],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_node_form_option_guards():
+    """make_field rejects option combinations a form does not implement
+    (r9 review): normalize/time_input are mlp-only, and normalize
+    requires both scales — previously these silently no-op'd or
+    crashed deep in the solver."""
+    import dataclasses as dc
+
+    import pytest
+
+    from nlbac_tpu.config import NodeConfig
+    from nlbac_tpu.nn.node import make_field
+
+    base = NodeConfig(form="control_affine", state_dim=3, action_dim=2)
+    with pytest.raises(ValueError, match="normalize"):
+        make_field(dc.replace(base, normalize=True,
+                              state_scale=(1., 1., 1.),
+                              action_scale=(1., 1.)))
+    with pytest.raises(ValueError, match="time_input"):
+        make_field(dc.replace(base, time_input=True))
+    with pytest.raises(ValueError, match="state_scale"):
+        make_field(NodeConfig(form="mlp", state_dim=3, action_dim=2,
+                              normalize=True))

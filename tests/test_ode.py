@@ -286,3 +286,27 @@ def test_dopri5_max_steps_truncation_is_detectable():
     y, t_reached = solve_adaptive(field, None, y0, 0.0, 1.0,
                                   return_final_t=True)
     np.testing.assert_allclose(float(t_reached), 1.0, rtol=1e-6)
+
+
+def test_odeint_grid_pytree_state():
+    """odeint_grid honors the documented pytree-state contract (r9
+    review: the y0 prepend used to assume a single array)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nlbac_tpu.ode.solvers import odeint_grid
+
+    def field(params, t, y):
+        a, b = y
+        return (-a, -2.0 * b)
+
+    y0 = (jnp.ones(3), jnp.ones(2))
+    ts = jnp.linspace(0.0, 1.0, 11)
+    ys = odeint_grid(field, None, y0, ts, method="rk4",
+                     steps_per_interval=4)
+    assert ys[0].shape == (11, 3) and ys[1].shape == (11, 2)
+    np.testing.assert_allclose(np.asarray(ys[0][-1]), np.exp(-1.0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ys[1][-1]), np.exp(-2.0),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ys[0][0]), 1.0)

@@ -528,3 +528,28 @@ def test_kill_penalty_rejected_for_envs_without_it():
                      env=dc.replace(cfg.env, spawn_curriculum_episodes=50))
     with pytest.raises(ValueError, match="reset_curriculum"):
         make_episode_runner(cfg)
+
+
+def test_curriculum_zero_episodes_rejected_and_breakdown_total():
+    """r9 review guards: reset_curriculum(curriculum_episodes=0) raises
+    instead of producing NaN spawns (0/0 in the clip), and the
+    violation breakdown carries the per-step TOTAL in slot 0 (the
+    base.py convention the other envs follow)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from nlbac_tpu.envs import quadrotor as quad
+
+    with pytest.raises(ValueError, match="curriculum_episodes"):
+        quad.reset_curriculum(jax.random.PRNGKey(0), jnp.int32(3),
+                              curriculum_episodes=0)
+
+    # out-of-range without collision: breakdown slot 0 == total
+    st = quad.QuadrotorState(
+        x=jnp.array([5.0, 0.0, 1.0, 0.0, 0.0, 0.0], jnp.float32),
+        step=jnp.int32(0))
+    _, out = quad.step(st, jnp.zeros(2))
+    bd = np.asarray(out.viol_breakdown)
+    assert bd[0] == float(out.num_violations) == bd[1:].sum()
