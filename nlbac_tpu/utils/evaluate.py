@@ -54,6 +54,28 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
                 f"--spawn_alpha {spawn_alpha} must lie in "
                 f"[{CURRICULUM_ALPHA_MIN}, 1.0] (the training arc)")
 
+    # Evaluation must run under the PRESET'S episode semantics, not
+    # step()'s defaults: the quadrotor preset ships kill_penalty=250
+    # (and recipes add kill_attitude) — without these a crash episode
+    # reports a much milder return than the training numbers it is
+    # compared to, and an attitude-killed policy tumbles on for the
+    # full step budget. Same opt-in gating as train/driver.py:135-152.
+    step_kwargs = {}
+    for kw in ("kill_penalty", "kill_attitude"):
+        val = getattr(cfg.env, kw, 0.0)
+        if val:
+            import inspect
+            if kw not in inspect.signature(env.step).parameters:
+                raise ValueError(
+                    f"{kw}={val} but env {cfg.env.name!r} does not "
+                    f"accept it")
+            step_kwargs[kw] = val
+
+    # tracked-state width: the env's physical state dim (floor of 12
+    # keeps the layout of archived evals; the old hard-coded 12 broke
+    # conforming register_env envs with wider states)
+    track_width = max(12, env.SPEC.state_dim)
+
     @jax.jit
     def rollout(policy, key):
         key, krst = jax.random.split(key)
@@ -73,18 +95,24 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
                                                    spec)
             a = a_det[0] if deterministic else a_s[0]
             st, out = env.step(st, a,
-                               max_episode_steps=cfg.env.max_episode_steps)
+                               max_episode_steps=cfg.env.max_episode_steps,
+                               **step_kwargs)
             states = jax.lax.dynamic_update_index_in_dim(
                 states, _track(st), steps, axis=0)
             return (st, out.obs, out.done, key, reward + out.reward,
                     steps + 1, viol + out.num_violations, states)
 
         def _track(st):
-            x = st.x
-            full = jnp.zeros((12,), jnp.float32)
+            # built-in env states expose .x; a registered third-party
+            # state tracks its first array leaf (best-effort trace for
+            # rendering — the contract does not require a field name)
+            x = st.x if hasattr(st, "x") else jax.tree.leaves(st)[0]
+            x = jnp.ravel(x)[:track_width]
+            full = jnp.zeros((track_width,), jnp.float32)
             return full.at[:x.shape[0]].set(x)
 
-        states0 = jnp.zeros((cfg.env.max_episode_steps, 12), jnp.float32)
+        states0 = jnp.zeros((cfg.env.max_episode_steps, track_width),
+                            jnp.float32)
         out = jax.lax.while_loop(cond, body,
                                  (st, obs, jnp.array(False), key,
                                   jnp.float32(0), jnp.int32(0),
@@ -99,23 +127,26 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
         viewer = LiveViewer(cfg.env.name)
     for ep in range(episodes):
         r, n, v, states = rollout(ts.policy, jax.random.PRNGKey(seed + ep))
+        # ONE pipelined D2H fetch per episode (CLAUDE.md: bare
+        # float()/int() reads each pay a tunnel round trip)
+        from nlbac_tpu.train.checkpoint import _to_host
+        r, n, v, states = _to_host((r, n, v, states))
         n = int(n)
         results.append({"return": float(r), "length": n,
                         "violations": float(v)})
         print(f"eval ep {ep}: return={float(r):.2f} len={n} "
               f"violations={float(v):.0f}")
-        if viewer is not None:
+        want_frames = render_path and ep == 0
+        if viewer is not None or want_frames:
+            from nlbac_tpu.envs.render import render
             traj = np.asarray(states[:n])
             stride = max(1, n // 150)
             for i in range(0, n, stride):
-                viewer.show(traj[i], trajectory=traj[:i + 1])
-        if render_path and ep == 0:
-            from nlbac_tpu.envs.render import render, save_video
-            traj = np.asarray(states[:n])
-            stride = max(1, n // 150)
-            for i in range(0, n, stride):
-                frames.append(render(cfg.env.name, traj[i],
-                                     trajectory=traj[:i + 1]))
+                if viewer is not None:
+                    viewer.show(traj[i], trajectory=traj[:i + 1])
+                if want_frames:
+                    frames.append(render(cfg.env.name, traj[i],
+                                         trajectory=traj[:i + 1]))
     if viewer is not None:
         viewer.close()
     if render_path and frames:

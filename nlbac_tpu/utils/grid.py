@@ -51,6 +51,12 @@ class ExperimentGrid:
             ) -> "ExperimentGrid":
         if not isinstance(vals, (list, tuple)):
             vals = [vals]
+        if key in self.keys:
+            # dict(zip(...)) in variants() would silently keep only the
+            # LAST axis's value while the cartesian product still
+            # multiplies the variant count — duplicate runs mislabeled
+            # as a sweep
+            raise ValueError(f"grid key {key!r} was already added")
         # validate the path exists on the base config
         _replace_path(self.base, key, vals[0])
         self.keys.append(key)
@@ -90,7 +96,11 @@ class ExperimentGrid:
             out = os.path.join(output_dir, name)
             print(f"=== grid variant {name} -> {out}")
             if run_fn is not None:
-                results[name] = run_fn(cfg)
+                # pass the per-variant output path + caller kwargs on
+                # to custom run_fns too (they used to be printed above
+                # and then silently dropped)
+                results[name] = run_fn(cfg, output_dir=out,
+                                       **train_kwargs)
             else:
                 results[name] = train(cfg, output_dir=out, quiet=True,
                                       **train_kwargs)

@@ -13,6 +13,11 @@ import re
 
 
 def get_output_folder(parent_dir: str, env_name: str) -> str:
+    """Auto-incremented run dir (<env>-run<N>), atomic under concurrent
+    launches: creation with exist_ok=False claims the index, and a
+    collision (two processes scanning the same max) retries with the
+    next one — two simultaneous launches previously shared one dir and
+    silently clobbered each other's progress.txt/weights."""
     os.makedirs(parent_dir, exist_ok=True)
     max_run = 0
     pattern = re.compile(rf"^{re.escape(env_name)}-run(\d+)$")
@@ -20,9 +25,15 @@ def get_output_folder(parent_dir: str, env_name: str) -> str:
         m = pattern.match(name)
         if m and os.path.isdir(os.path.join(parent_dir, name)):
             max_run = max(max_run, int(m.group(1)))
-    path = os.path.join(parent_dir, f"{env_name}-run{max_run + 1}")
-    os.makedirs(path, exist_ok=True)
-    return path
+    for run in range(max_run + 1, max_run + 1000):
+        path = os.path.join(parent_dir, f"{env_name}-run{run}")
+        try:
+            os.makedirs(path, exist_ok=False)
+            return path
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"could not claim a run dir under {parent_dir} after 1000 tries")
 
 
 def setup_logger_kwargs(exp_name: str, seed: int | None = None,

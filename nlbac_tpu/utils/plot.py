@@ -75,8 +75,13 @@ def plot_data(datasets: List[dict], value: str = "reward_train",
                 continue
             y = p[value]
             if smooth > 1:
-                k = np.ones(smooth) / smooth
-                y = np.convolve(y, k, mode="same")
+                # edge-normalized moving average (the reference's
+                # vendored plotter does exactly this, UNI/utils/plot.py):
+                # a bare 'same' convolution implicitly pads with zeros,
+                # biasing the first/last smooth//2 points toward 0
+                k = np.ones(smooth)
+                y = (np.convolve(y, k, mode="same")
+                     / np.convolve(np.ones_like(y), k, mode="same"))
             xs.append(p[xaxis])
             ys.append(y)
         if not ys:

@@ -454,6 +454,13 @@ def test_evaluate_import_initializes_no_backend():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = (
+        # force CPU before anything can init a backend: the positive
+        # control below WILL initialize one, and on this image that
+        # must not be the axon TPU tunnel (a queued client can hang
+        # the subprocess for minutes — CLAUDE.md). The config update
+        # itself does not initialize anything, so the first probe
+        # still measures evaluate's import behavior.
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import nlbac_tpu.utils.evaluate\n"
         "from jax._src import xla_bridge\n"
         # hard attribute access: if a jax upgrade moves the private
