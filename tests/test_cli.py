@@ -610,3 +610,20 @@ def test_save_best_checkpoint(tmp_path):
         np.testing.assert_allclose(b["value"], exp_val, rtol=1e-4)
     with pytest.raises(ValueError, match="output dir"):
         train_multi_seed(cfg_ms, n_seeds=2, output_root=None, quiet=True)
+
+
+def test_console_script_targets_resolve():
+    """Every [project.scripts] target in pyproject.toml imports and is
+    callable (nlbac-train / nlbac-plot / nlbac-eval)."""
+    import importlib
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml")) as fh:
+        text = fh.read()
+    block = text.split("[project.scripts]")[1].split("[")[0]
+    targets = re.findall(r'=\s*"([\w.]+):(\w+)"', block)
+    assert len(targets) >= 3
+    for mod_name, attr in targets:
+        fn = getattr(importlib.import_module(mod_name), attr)
+        assert callable(fn), (mod_name, attr)
