@@ -32,7 +32,7 @@ from nlbac_tpu import replay as replay_lib
 from nlbac_tpu.agent.state import TrainState, make_optimizers
 from nlbac_tpu.config import NLBACConfig
 from nlbac_tpu.constraints import backup_loss as lag_backup_loss
-from nlbac_tpu.constraints import get_builder
+from nlbac_tpu.constraints import get_builder, uses_barrier
 from nlbac_tpu.constraints import primary_loss as lag_primary_loss
 from nlbac_tpu.envs import get_env
 from nlbac_tpu.nn import (
@@ -83,7 +83,12 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
     target_entropy = (-float(cfg.action_dim)
                       if scfg.target_entropy is None
                       else float(scfg.target_entropy))
-    is_nbc = ccfg.kind == "learned_barrier"
+    # Barrier-critic training is a BUILDER property, not a kind-string
+    # match: third-party NBC-family builders declare USES_BARRIER = True
+    # (constraints.uses_barrier; examples/custom_barrier_env.py) and get
+    # the same TD training + target soft-updates as the built-in
+    # learned_barrier module.
+    is_nbc = uses_barrier(ccfg.kind)
     is_gaussian = scfg.policy_type != "deterministic"
     entropy_tuning = scfg.automatic_entropy_tuning and is_gaussian
     pretanh_reg = float(getattr(scfg, "pretanh_reg", 0.0))

@@ -31,6 +31,16 @@ def get_builder(kind: str):
     return _BUILDERS[kind]
 
 
+def uses_barrier(kind: str) -> bool:
+    """Whether the builder trains a learned barrier critic (the NBC
+    family): the agent runs barrier TD updates + target soft-updates,
+    and the CLI saves/loads ``barrier.pkl``.  Declared by the builder
+    itself via ``USES_BARRIER = True`` (set on the built-in
+    ``learned_barrier`` module), so runtime-registered NBC-style
+    builders get the same treatment as the built-in one."""
+    return bool(getattr(get_builder(kind), "USES_BARRIER", False))
+
+
 def register_builder(kind: str, module) -> None:
     """Register a third-party constraint builder so
     ``ConstraintConfig(kind=...)`` resolves to it (the companion of
@@ -42,6 +52,12 @@ def register_builder(kind: str, module) -> None:
               lyap_t, key, dt, include_clf=True, **extras) -> (B, K)
         NUM_PRIMARY: int   # K with the CLF column
         NUM_BACKUP: int    # K of the backup (CBF-only) branch
+
+    Optional: ``USES_BARRIER = True`` marks an NBC-family builder —
+    ``terms`` then receives live ``barrier_params`` (+ a ``resample``
+    closure over the current policy) in its extras, and the agent TD-
+    trains the barrier critic on the env's ``barrier_signal`` channel
+    (the env must emit it; see examples/custom_barrier_env.py).
 
     Same collision semantics as register_env: re-registering the same
     object is a no-op, shadowing a different one fails loudly."""

@@ -81,6 +81,7 @@ def terms(ccfg: ConstraintConfig, ncfg: NodeConfig, node_params, field,
 
 
 NUM_PRIMARY = 2  # 1 learned barrier + 1 CLF
+USES_BARRIER = True  # NBC family: the agent TD-trains the barrier critic
 # The NBC-UNI/NBC-PVTOL presets train no backup controller
 # (use_backup=False), but the quadrotor preset uses this builder WITH a
 # backup (config.py _quadrotor: use_backup=True), so the backup

@@ -21,6 +21,7 @@ import numpy as np
 
 from nlbac_tpu.agent import create_train_state
 from nlbac_tpu.config import NLBACConfig, get_config
+from nlbac_tpu.constraints import uses_barrier
 from nlbac_tpu.train.checkpoint import (AsyncCheckpointer, _to_host,
                                         save_model_weights)
 from nlbac_tpu.train.driver import create_replays, make_episode_runner
@@ -317,7 +318,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     total_steps = (jnp.int32(total0) if resume_path is not None
                    else jnp.int32(0))
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
-    is_nbc = cfg.constraint.kind == "learned_barrier"
+    is_nbc = uses_barrier(cfg.constraint.kind)
     ckpt_writer = AsyncCheckpointer()
 
     # Best-checkpoint selection (RunConfig.save_best_metric): trailing-
@@ -444,8 +445,13 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
                      safety_cost_train=float(m.safety_cost),
                      goal_met=float(m.goal_met),
                      reached=float(m.reached))
-        for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                  "alpha_loss", "alpha", "node_loss", "rho", "lam_max"):
+        train_cols = ["qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+                      "alpha_loss", "alpha", "node_loss", "rho", "lam_max"]
+        if is_nbc:
+            # barrier-critic TD loss: NBC-family runs only, appended past
+            # the shared column set (header-keyed parsers stay compatible)
+            train_cols.append("barrier_td_loss")
+        for k in train_cols:
             logger.store(**{k: float(m.train[k])})
         logger.log_tabular("Episode")
         logger.log_tabular("episode_steps")
@@ -458,8 +464,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # reference's column set so archived-run parsers (header-keyed)
         # stay compatible — added r5 to make multiplier-driven collapse
         # (PARITY.md "Quadrotor") diagnosable from progress.txt alone.
-        for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                  "alpha_loss", "alpha", "node_loss", "rho", "lam_max"):
+        for k in train_cols:
             logger.log_tabular(k)
         logger.log_tabular("updates", int(updates_host))
         logger.log_tabular("backup_steps", int(m.backup_steps))
@@ -523,7 +528,7 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
         states = init_fn(cfg.run.seed)
 
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
-    is_nbc = cfg.constraint.kind == "learned_barrier"
+    is_nbc = uses_barrier(cfg.constraint.kind)
     try:
         _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
                          step_fn, states, save_every, is_nbc, timer)
@@ -566,15 +571,16 @@ def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
             # is diagnosable from progress.txt alone, and the
             # multi-seed path is HOW the sweeps run — the data is
             # already on host via the pipelined fetch above
-            for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                      "alpha_loss", "alpha", "node_loss", "rho",
-                      "lam_max"):
+            train_cols = ["qf1_loss", "qf2_loss", "lf_loss",
+                          "policy_loss", "alpha_loss", "alpha",
+                          "node_loss", "rho", "lam_max"]
+            if is_nbc:  # appended, as in single-seed train()
+                train_cols.append("barrier_td_loss")
+            for k in train_cols:
                 lg.store(**{k: float(m.train[k])})
-            for k in ("Episode", "episode_steps", "reward_train",
-                      "cost_train", "safety_cost_train", "goal_met",
-                      "reached", "qf1_loss", "qf2_loss", "lf_loss",
-                      "policy_loss", "alpha_loss", "alpha", "node_loss",
-                      "rho", "lam_max"):
+            for k in (["Episode", "episode_steps", "reward_train",
+                       "cost_train", "safety_cost_train", "goal_met",
+                       "reached"] + train_cols):
                 lg.log_tabular(k)
             lg.dump_tabular()
         if not quiet:
@@ -644,8 +650,8 @@ def main(argv=None):
         from nlbac_tpu.utils.evaluate import run_policy
         ts = create_train_state(cfg, jax.random.PRNGKey(cfg.run.seed))
         ts = load_model_weights(args.output, ts,
-                                include_barrier=(cfg.constraint.kind
-                                                 == "learned_barrier"))
+                                include_barrier=uses_barrier(
+                                    cfg.constraint.kind))
         run_policy(cfg, ts, episodes=5, seed=cfg.run.seed)
         return
     out = get_output_folder(args.output, cfg.env.name)

@@ -191,13 +191,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from nlbac_tpu.agent import create_train_state
     from nlbac_tpu.config import get_config
+    from nlbac_tpu.constraints import uses_barrier
     from nlbac_tpu.train.checkpoint import load_model_weights
 
     cfg = get_config(args.preset)
     ts = create_train_state(cfg, jax.random.PRNGKey(0))
     ts = load_model_weights(args.run_dir, ts,
-                            include_barrier=(cfg.constraint.kind
-                                             == "learned_barrier"))
+                            include_barrier=uses_barrier(
+                                cfg.constraint.kind))
     run_policy(cfg, ts, episodes=args.episodes, seed=args.seed,
                render_path=args.render, display=args.display,
                deterministic=not args.stochastic,

@@ -627,3 +627,21 @@ def test_console_script_targets_resolve():
     for mod_name, attr in targets:
         fn = getattr(importlib.import_module(mod_name), attr)
         assert callable(fn), (mod_name, attr)
+
+
+def test_examples_custom_barrier_env_runs():
+    """examples/custom_barrier_env.py: a runtime-registered NBC-family
+    env + builder (USES_BARRIER=True) trains end-to-end — the barrier
+    critic TD-trains on the env's barrier_signal channel and the
+    learned barrier eliminates late safety cost (asserted inside the
+    example)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(root, "examples", "custom_barrier_env.py"), "--cpu"],
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "barrier critic TD-trained" in out.stdout
