@@ -287,3 +287,93 @@ def test_experiment_grid_run_all(tmp_path):
     for name in results:
         assert os.path.exists(os.path.join(tmp_path, name,
                                            "progress.txt")), name
+
+
+def test_export_policy_roundtrip(tmp_path):
+    """export_policy: the serialized deterministic head reproduces the
+    in-process head bit-close at MULTIPLE batch sizes (symbolic batch
+    dim), the stochastic head samples in-bounds, and the manifest
+    self-describes the artifact."""
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.utils.export_policy import (export_policy, load_policy,
+                                               make_policy_fn)
+
+    cfg = get_config("unicycle")
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "policy.nlbac")
+    export_policy(cfg, ts, path)
+    fn, man = load_policy(path)
+    assert man["format"] == "nlbac-policy-export-v1"
+    assert (man["obs_dim"], man["action_dim"]) == (7, 2)
+    ref_fn = make_policy_fn(cfg, ts)
+    for B in (1, 5, 64):
+        obs = np.random.RandomState(B).randn(B, 7).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(fn(obs)),
+                                   np.asarray(ref_fn(jnp.asarray(obs))),
+                                   rtol=1e-6, atol=1e-6)
+    # stochastic head: takes a key, stays inside the action bounds
+    spath = str(tmp_path / "policy_s.nlbac")
+    export_policy(cfg, ts, spath, deterministic=False)
+    sfn, sman = load_policy(spath)
+    assert sman["deterministic"] is False
+    a = np.asarray(sfn(np.zeros((8, 7), np.float32), jax.random.PRNGKey(1)))
+    assert a.shape == (8, 2) and np.isfinite(a).all()
+    from nlbac_tpu.envs import get_env
+    lo = np.asarray(get_env("unicycle").SPEC.action_low)
+    hi = np.asarray(get_env("unicycle").SPEC.action_high)
+    assert (a >= lo - 1e-6).all() and (a <= hi + 1e-6).all()
+
+
+def test_export_policy_framework_free_serving(tmp_path):
+    """The deployment claim, proven: a subprocess that imports ONLY jax
+    (no nlbac_tpu on its path) deserializes and serves the artifact."""
+    import subprocess
+    import sys
+
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.utils.export_policy import export_policy, make_policy_fn
+
+    cfg = get_config("unicycle")
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "policy.nlbac")
+    export_policy(cfg, ts, path)
+    obs = np.random.RandomState(0).randn(3, 7).astype(np.float32)
+    np.save(str(tmp_path / "obs.npy"), obs)
+    script = (
+        "import sys\n"
+        # serving environment: no repo / package on the path
+        "sys.path = [p for p in sys.path if 'repo' not in p]\n"
+        "import jax, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"blob = open({path!r}, 'rb').read()\n"
+        "exported = jax.export.deserialize(blob)\n"
+        "act = jax.jit(exported.call)\n"
+        f"obs = np.load({str(tmp_path / 'obs.npy')!r})\n"
+        "a = np.asarray(act(obs))\n"
+        "assert a.shape == (3, 2), a.shape\n"
+        f"np.save({str(tmp_path / 'a.npy')!r}, a)\n"
+        "print('served OK')\n")
+    out = subprocess.run([sys.executable, "-c", script], cwd=str(tmp_path),
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "served OK" in out.stdout
+    served = np.load(str(tmp_path / "a.npy"))
+    ref = np.asarray(make_policy_fn(cfg, ts)(jnp.asarray(obs)))
+    np.testing.assert_allclose(served, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_export_policy_cli(tmp_path):
+    """export_policy.main: exports from a save_model_weights run dir."""
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.train.checkpoint import save_model_weights
+    from nlbac_tpu.utils.export_policy import load_policy
+    from nlbac_tpu.utils.export_policy import main as export_main
+
+    cfg = get_config("unicycle")
+    ts = create_train_state(cfg, jax.random.PRNGKey(3))
+    run_dir = str(tmp_path / "run")
+    save_model_weights(run_dir, ts)
+    export_main([run_dir, "--preset", "unicycle"])
+    fn, man = load_policy(os.path.join(run_dir, "policy.nlbac"))
+    a = np.asarray(fn(np.zeros((2, 7), np.float32)))
+    assert a.shape == (2, 2) and np.isfinite(a).all()
