@@ -216,6 +216,39 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra[f"{preset}_steps_per_sec"] = f"error: {type(e).__name__}"
 
+    # serving latency of the deployment artifact (utils/export_policy):
+    # batch-64 deterministic head through jax.export round-trip —
+    # dispatch-dominated through the tunnel, so this measures the
+    # deployment overhead floor, not MLP FLOPs. Contained: a failure
+    # must not kill the headline metric.
+    try:
+        import tempfile
+        import time as _time
+
+        import jax
+        import numpy as np
+
+        from nlbac_tpu.agent import create_train_state
+        from nlbac_tpu.config import get_config
+        from nlbac_tpu.utils.export_policy import export_policy, load_policy
+
+        _cfg = get_config("unicycle")
+        _ts = create_train_state(_cfg, jax.random.PRNGKey(0))
+        _p = os.path.join(tempfile.mkdtemp(), "policy.nlbac")
+        export_policy(_cfg, _ts, _p)
+        _fn, _ = load_policy(_p)
+        _obs = np.zeros((64, 7), np.float32)
+        _fn(_obs)  # compile
+        _t0 = _time.perf_counter()
+        _n = 200
+        for _ in range(_n):
+            _a = _fn(_obs)
+        _a.block_until_ready()
+        extra["serving_latency_us_b64"] = round(
+            (_time.perf_counter() - _t0) / _n * 1e6, 1)
+    except Exception as e:  # noqa: BLE001
+        extra["serving_latency_us_b64"] = f"error: {type(e).__name__}"
+
     # best of two: the torch-CPU measurement is sensitive to host load.
     # The ratio uses the recorded best as a floor so vs_baseline is the
     # conservative speedup, stable across rounds. Single source of truth
