@@ -255,6 +255,9 @@ class RunConfig:
     exp_name: str = "nlbac"
     log_wandb: bool = False
     wandb_project: str = ""
+    # local offline alternative to wandb: write TensorBoard event files
+    # under <output_dir>/tb (--tensorboard; torch.utils.tensorboard)
+    log_tensorboard: bool = False
     # Best-checkpoint selection (r8). The reference saves weights only on
     # a fixed cadence (UNI/main.py:153-154), so a run that later drifts
     # (the documented late Lagrangian drift — PARITY.md cars 500-episode

@@ -171,6 +171,10 @@ def build_parser() -> argparse.ArgumentParser:
     # logging
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--wandb_project", default=None)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files to "
+                        "<output>/tb (local offline alternative to "
+                        "--wandb; same metric names)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="full-state checkpoint path to write")
@@ -252,6 +256,7 @@ def config_from_args(args) -> NLBACConfig:
         run=rep(cfg.run, seed=args.seed,
                 max_episodes=args.max_episodes, output=args.output,
                 log_wandb=True if args.wandb else None,
+                log_tensorboard=True if args.tensorboard else None,
                 wandb_project=args.wandb_project,
                 save_best_metric=args.save_best,
                 save_best_window=args.save_best_window,
@@ -285,7 +290,10 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     logger.save_config(cfg)
     sink = MetricsSink(logger, use_wandb=cfg.run.log_wandb,
                        wandb_project=cfg.run.wandb_project,
-                       wandb_config=cfg.to_dict())
+                       wandb_config=cfg.to_dict(),
+                       tensorboard_dir=(os.path.join(output_dir, "tb")
+                                        if cfg.run.log_tensorboard
+                                        else None))
     timer = StepTimer()
 
     key = jax.random.PRNGKey(cfg.run.seed)
@@ -637,7 +645,8 @@ def main(argv=None):
         # branch): these flags have no eval-mode meaning, and silently
         # ignoring e.g. --n_seeds would pass one seed's rollouts off as
         # a multi-seed result.
-        for flag in ("resume", "checkpoint", "profile_dir", "wandb"):
+        for flag in ("resume", "checkpoint", "profile_dir", "wandb",
+                     "tensorboard"):
             if getattr(args, flag, None):
                 raise SystemExit(
                     f"--{flag} has no effect with --mode eval; drop it")
@@ -667,6 +676,11 @@ def main(argv=None):
         if args.wandb:
             raise SystemExit("--wandb is a single-seed feature; it is "
                              "not supported with --n_seeds > 1")
+        if args.tensorboard:
+            raise SystemExit("--tensorboard is a single-seed feature; "
+                             "it is not supported with --n_seeds > 1 "
+                             "(per-seed progress.txt is the multi-seed "
+                             "channel)")
         print(colorize(
             f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
             f"backend={jax.default_backend()} seeds={cfg.run.seed}.."

@@ -109,14 +109,24 @@ class EpochLogger:
 
 
 class MetricsSink:
-    """Fan-out sink: EpochLogger + optional wandb + in-memory history."""
+    """Fan-out sink: EpochLogger + optional wandb + optional TensorBoard
+    + in-memory history.
+
+    The reference emits to wandb only (UNI/main.py:157-165); wandb is a
+    hosted service and may be absent/offline (it is in this image), so
+    the sink degrades gracefully AND offers a local TensorBoard event
+    stream (``tensorboard_dir``) via torch.utils.tensorboard when torch
+    ships one — a fully offline observability channel."""
 
     def __init__(self, logger: Optional[EpochLogger] = None,
                  use_wandb: bool = False, wandb_project: str = "",
-                 wandb_config: Any = None):
+                 wandb_config: Any = None,
+                 tensorboard_dir: Optional[str] = None):
         self.logger = logger
         self.history = []
         self._wandb = None
+        self._tb = None
+        self._step = 0
         if use_wandb:
             try:
                 import wandb  # noqa: F401
@@ -125,16 +135,31 @@ class MetricsSink:
             except Exception as e:  # wandb absent or offline
                 print(colorize(f"wandb unavailable ({e}); metrics go to "
                                "progress.txt only", "yellow"))
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=tensorboard_dir)
+            except Exception as e:  # tensorboard backend absent
+                print(colorize(f"tensorboard unavailable ({e}); metrics "
+                               "go to progress.txt only", "yellow"))
 
     def log(self, metrics: Dict[str, float]) -> None:
         metrics = {k: float(v) for k, v in metrics.items()}
         self.history.append(metrics)
         if self._wandb is not None:
             self._wandb.log(metrics)
+        if self._tb is not None:
+            # one global step per log() call (= one episode); scalar tags
+            # keep the wandb metric names so dashboards line up
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, v, self._step)
+        self._step += 1
 
     def close(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()
+        if self._tb is not None:
+            self._tb.close()
         if self.logger is not None:
             self.logger.close()
 

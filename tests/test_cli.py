@@ -645,3 +645,47 @@ def test_examples_custom_barrier_env_runs():
         capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "barrier critic TD-trained" in out.stdout
+
+
+def test_tensorboard_sink(tmp_path):
+    """--tensorboard writes a readable event stream alongside
+    progress.txt (the local offline alternative to the reference's
+    wandb channel), with the same metric names; the flag is rejected
+    where wandb is (eval mode, multi-seed)."""
+    import dataclasses as dc
+
+    from nlbac_tpu.config import ReplayConfig, get_config
+
+    cfg = get_config("unicycle")
+    cfg = dc.replace(
+        cfg,
+        env=dc.replace(cfg.env, max_episode_steps=20),
+        sac=dc.replace(cfg.sac, hidden_dim=8, batch_size=8,
+                       updates_per_step=1, start_steps=4),
+        node=dc.replace(cfg.node, hidden_dim=8, f_hidden_layers=1,
+                        g_hidden_layers=1, max_batch=8,
+                        update_interval=2),
+        replay=ReplayConfig(capacity=128, node_capacity=128),
+        run=dc.replace(cfg.run, max_episodes=3, log_tensorboard=True),
+    )
+    out = str(tmp_path / "run")
+    train(cfg, output_dir=out, quiet=True)
+    tb_dir = os.path.join(out, "tb")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert "Episode Reward" in tags, tags
+    rewards = [e.value for e in acc.Scalars("Episode Reward")]
+    assert len(rewards) == 3 and all(np.isfinite(rewards))
+
+    # flag conflicts are loud, mirroring --wandb
+    import pytest
+
+    from nlbac_tpu.train.cli import main as cli_main
+    with pytest.raises(SystemExit, match="tensorboard"):
+        cli_main(["--mode", "eval", "--tensorboard", "--output", out])
+    with pytest.raises(SystemExit, match="tensorboard"):
+        cli_main(["--n_seeds", "2", "--tensorboard", "--output", out])
