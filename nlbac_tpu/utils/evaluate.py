@@ -177,6 +177,10 @@ def main(argv=None):
                         "start, smaller = closer to the goal). The "
                         "in-flight competence metric the mix-trained "
                         "best/ snapshots actually optimize")
+    p.add_argument("--json", default=None, metavar="PATH",
+                   help="also write the per-episode results and their "
+                        "means as JSON (machine-readable channel for "
+                        "CI-style gates on return/violations)")
     p.add_argument("--cpu", action="store_true",
                    help="evaluate on the host CPU so the rollout never "
                         "contends with a training run for the TPU tunnel "
@@ -199,10 +203,21 @@ def main(argv=None):
     ts = load_model_weights(args.run_dir, ts,
                             include_barrier=uses_barrier(
                                 cfg.constraint.kind))
-    run_policy(cfg, ts, episodes=args.episodes, seed=args.seed,
-               render_path=args.render, display=args.display,
-               deterministic=not args.stochastic,
-               spawn_alpha=args.spawn_alpha)
+    results = run_policy(cfg, ts, episodes=args.episodes, seed=args.seed,
+                         render_path=args.render, display=args.display,
+                         deterministic=not args.stochastic,
+                         spawn_alpha=args.spawn_alpha)
+    if args.json:
+        import json
+
+        means = {k: float(np.mean([r[k] for r in results]))
+                 for k in ("return", "length", "violations")}
+        with open(args.json, "w") as f:
+            json.dump({"preset": args.preset, "run_dir": args.run_dir,
+                       "seed": args.seed,
+                       "deterministic": not args.stochastic,
+                       "episodes": results, "mean": means}, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -689,3 +689,31 @@ def test_tensorboard_sink(tmp_path):
         cli_main(["--mode", "eval", "--tensorboard", "--output", out])
     with pytest.raises(SystemExit, match="tensorboard"):
         cli_main(["--n_seeds", "2", "--tensorboard", "--output", out])
+
+
+def test_evaluate_cli_json(tmp_path):
+    """nlbac-eval --json writes machine-readable per-episode results +
+    means that match the printed channel (the CI-gate output)."""
+    import jax
+    import json
+
+    from nlbac_tpu.agent import create_train_state
+    from nlbac_tpu.config import get_config
+    from nlbac_tpu.train.checkpoint import save_model_weights
+    from nlbac_tpu.utils.evaluate import main as eval_main
+
+    cfg = get_config("unicycle")
+    ts = create_train_state(cfg, jax.random.PRNGKey(5))
+    run_dir = str(tmp_path / "run")
+    save_model_weights(run_dir, ts)
+    out_json = str(tmp_path / "eval.json")
+    eval_main([run_dir, "--preset", "unicycle", "--episodes", "2",
+               "--json", out_json])
+    with open(out_json) as fh:
+        d = json.load(fh)
+    assert d["preset"] == "unicycle" and len(d["episodes"]) == 2
+    assert d["deterministic"] is True
+    rets = [e["return"] for e in d["episodes"]]
+    assert np.isfinite(rets).all()
+    np.testing.assert_allclose(d["mean"]["return"], np.mean(rets),
+                               rtol=1e-6)
