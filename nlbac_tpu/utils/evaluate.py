@@ -31,6 +31,13 @@ import numpy as np
 # the TPU tunnel anyway.
 
 
+def aggregate(results):
+    """Per-key means over per-episode result dicts — the ONE place the
+    aggregation lives (printed summary and --json both use it)."""
+    return {k: float(np.mean([r[k] for r in results]))
+            for k in ("return", "length", "violations")}
+
+
 def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
                render_path: Optional[str] = None, deterministic=True,
                display: bool = False, spawn_alpha: Optional[float] = None):
@@ -153,9 +160,7 @@ def run_policy(cfg, ts, episodes: int = 5, seed: int = 0,
         from nlbac_tpu.envs.render import save_video
         out = save_video(frames, render_path)
         print(f"wrote {out}")
-    agg = {k: float(np.mean([r[k] for r in results]))
-           for k in ("return", "length", "violations")}
-    print(f"mean over {episodes} eps: {agg}")
+    print(f"mean over {episodes} eps: {aggregate(results)}")
     return results
 
 
@@ -210,8 +215,7 @@ def main(argv=None):
     if args.json:
         import json
 
-        means = {k: float(np.mean([r[k] for r in results]))
-                 for k in ("return", "length", "violations")}
+        means = aggregate(results)
         with open(args.json, "w") as f:
             json.dump({"preset": args.preset, "run_dir": args.run_dir,
                        "seed": args.seed,

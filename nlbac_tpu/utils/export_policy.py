@@ -113,8 +113,12 @@ def export_policy(cfg, ts, path: str, deterministic: bool = True,
         "batch": batch,  # None = symbolic
         "jax_version": jax.__version__,
     }
-    with open(path + _MANIFEST_SUFFIX, "w") as f:
+    # same tmp+replace pattern as the blob: a crash mid-export must not
+    # leave a fresh blob paired with a truncated/stale manifest
+    mtmp = f"{path}{_MANIFEST_SUFFIX}.{os.getpid()}.tmp"
+    with open(mtmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(mtmp, path + _MANIFEST_SUFFIX)
 
 
 def load_policy(path: str):
