@@ -80,8 +80,7 @@ def create_train_state(cfg: NLBACConfig, key) -> TrainState:
                                       hidden)
         backup_policy = gaussian_policy_init(ks[1], cfg.obs_dim,
                                              cfg.action_dim, hidden)
-    critic = twin_q_init(ks[2], cfg.obs_dim, cfg.action_dim, hidden,
-                         stacked=cfg.sac.stacked_twin_q)
+    critic = twin_q_init(ks[2], cfg.obs_dim, cfg.action_dim, hidden)
     lyap = lyapunov_init(ks[3], cfg.lyap_dim, hidden)
     barrier = barrier_init(ks[4], cfg.obs_dim, cfg.action_dim, hidden)
     node = node_init(ks[5], cfg.node)

@@ -63,11 +63,21 @@ class Agent(NamedTuple):
     node_fit: Callable
 
 
-def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
+def make_agent(cfg: NLBACConfig, env_override=None, *,
+               _decoupled_updates: bool = False,
+               dp_mesh=None, dp_axis: str = "dp") -> Agent:
     """``env_override`` substitutes a non-registry environment (e.g. a
     HostEnvAdapter wrapping safe-control-gym). It must expose SPEC plus
     obs_to_state / state_to_obs adapters (identity for envs whose obs IS
-    the NODE state)."""
+    the NODE state).
+
+    ``dp_mesh`` makes every update shard its sampled batches over the
+    mesh's ``dp_axis`` (sharding constraints on the batch arrays; GSPMD
+    turns the batch-mean reductions — gradients included — into psums
+    over ICI). The update math is unchanged; see parallel/mesh.py.
+
+    ``_decoupled_updates`` is an experimental measured-loss variant
+    reachable only through nlbac_tpu.experimental.make_decoupled_agent."""
     env = env_override if env_override is not None else \
         get_env(cfg.env.name)
     builder = get_builder(cfg.constraint.kind)
@@ -226,9 +236,28 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
         function (see nlbac_tpu.parallel)."""
         return _update_core(ts, batch, lambda: node_batch, key, i_episode)
 
+    if dp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _shard_dp(batch_dict):
+            """Constrain every batch array's leading (batch) axis onto the
+            dp mesh axis — the one annotation that makes GSPMD shard the
+            whole update (forward, grads, Adam reductions) data-parallel."""
+            def put(x):
+                spec = PartitionSpec(dp_axis, *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(dp_mesh, spec))
+            return {k: put(v) for k, v in batch_dict.items()}
+    else:
+        _shard_dp = None
+
     def _update_core(ts: TrainState, batch, node_batch_thunk, key, i_episode
                      ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         keys = jax.random.split(key, 8)
+        if _shard_dp is not None:
+            batch = _shard_dp(batch)
+            inner_thunk = node_batch_thunk
+            node_batch_thunk = lambda: _shard_dp(inner_thunk())
         obs, action = batch["obs"], batch["action"]
         if obs.shape[0] != scfg.batch_size:
             # filtered_means normalizes constraint columns by the
@@ -316,15 +345,13 @@ def make_agent(cfg: NLBACConfig, env_override=None) -> Agent:
                 bgrads, ts.opt["barrier"], ts.barrier)
             barrier = optax.apply_updates(ts.barrier, bupd)
 
-        # Perf lever (SacConfig.decoupled_updates): route the
-        # policy-gradient paths to the PRE-update function approximators
-        # so the TD-update subgraphs and the policy subgraph share no
-        # data dependency and XLA may interleave their schedules. The
-        # reference order (policy loss at the just-stepped critic,
-        # UNI/sac_cbf_clf/sac_cbf_clf.py update_parameters) is the
-        # default; this is a static Python branch, so default-off
-        # programs are byte-identical.
-        if scfg.decoupled_updates:
+        # Experimental variant (nlbac_tpu.experimental.make_decoupled_agent;
+        # measured loss, see that module): policy-gradient paths at the
+        # PRE-update function approximators. The reference order (policy
+        # loss at the just-stepped critic, UNI/sac_cbf_clf/sac_cbf_clf.py
+        # update_parameters) is the default; static Python branch, so
+        # default programs are byte-identical.
+        if _decoupled_updates:
             pg_critic, pg_lyap, pg_barrier = ts.critic, ts.lyap, ts.barrier
             pg_node = ts.node
         else:

@@ -68,15 +68,6 @@ class SacConfig:
     target_update_interval: int = 1
     updates_per_step: int = 2
     start_steps: int = 1000  # warmup random actions
-    # Store the twin Q-networks' weights stacked on a leading k=2 axis
-    # (one batched einsum per layer instead of two MLP applies).
-    # Numerically identical init. MEASURED LOSS, do not flip: 0.970x
-    # interleaved A/B (2110 vs 2176 steps/s unicycle medians,
-    # scripts/ab_stacked_q.py) — even with the layout fixed at init (no
-    # runtime stack/slice ops, unlike the r2 experiment), the k=2
-    # batched einsum loses to two plain matmuls on v5e. Kept for
-    # measurement reproducibility.
-    stacked_twin_q: bool = False
     # SAC target entropy for BOTH temperature updates (primary + backup).
     # None = the reference's -dim(A) (UNI/sac_cbf_clf/sac_cbf_clf.py:
     # 78-82), in the env-SCALED action space.  -dim(A) is only calibrated
@@ -106,25 +97,10 @@ class SacConfig:
     # env to expose ground_probe_obs() (quadrotor only). 0 = off
     # (every preset default).
     probe_pretanh_reg: float = 0.0
-    # Perf lever (r8): evaluate the policy/backup-policy losses at the
-    # PRE-update critic/Lyapunov/barrier/NODE params instead of the
-    # just-updated ones. The reference (and default) order is
-    # critic-step -> policy-loss-at-new-critic
-    # (UNI/sac_cbf_clf/sac_cbf_clf.py update_parameters: the optimizer
-    # steps mutate the modules in place before the policy loss reads
-    # them), which makes the whole update one sequential dependency
-    # chain — the measured per-update bottleneck (CLAUDE.md perf
-    # notes). With this flag the TD-update subgraphs and the policy
-    # subgraph are data-independent, so XLA may interleave them.
-    # One-update-stale critics are a standard SAC variation.
-    # MEASURED LOSS, do not flip for perf: 0.978x interleaved A/B
-    # (2015 vs 2061 steps/s unicycle medians, scripts/ab_decoupled.py,
-    # r8) — the episode program is latency-bound on op count, and
-    # breaking the dependency changes no op count; XLA's schedule of
-    # the sequential graph wins. Kept for measurement reproducibility
-    # and as a semantic variation; default-off keeps every reference
-    # preset's program byte-identical (static Python branch).
-    decoupled_updates: bool = False
+    # Measured-dead-end perf levers (stored stacked twin-Q, decoupled
+    # policy/TD updates, fused multi-update gather) are NOT config: they
+    # live in nlbac_tpu.experimental, reachable only by the A/B scripts
+    # that measured them (VERDICT r2 item 6).
 
 
 @dataclass(frozen=True)

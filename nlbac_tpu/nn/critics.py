@@ -14,31 +14,19 @@ import jax.numpy as jnp
 from nlbac_tpu.nn.mlp import mlp_apply, mlp_init
 
 
-def twin_q_init(key, obs_dim: int, action_dim: int, hidden: int,
-                stacked: bool = False):
-    """``stacked=True`` stores the two Q-networks' layer weights as ONE
-    leaf per layer with a leading k=2 axis (SacConfig.stacked_twin_q):
-    the forward becomes one batched einsum per layer instead of two MLP
-    applies, halving the twin-Q op count in the update chain.  Unlike the
-    r2 runtime-stacking experiment (measured −4%: the per-call
-    jnp.stack of weight leaves + slice VJPs cost more than the halved
-    matmuls, CLAUDE.md), the stack here happens ONCE at init — the
-    compiled program contains no stack/slice ops.  The two networks draw
-    the same per-network init keys either way, so stacked params are
-    numerically identical to the plain layout."""
+def twin_q_init(key, obs_dim: int, action_dim: int, hidden: int):
     k1, k2 = jax.random.split(key)
     sizes = [obs_dim + action_dim, hidden, hidden, 1]
-    q1, q2 = mlp_init(k1, sizes), mlp_init(k2, sizes)
-    if not stacked:
-        return {"q1": q1, "q2": q2}
-    return {"w": [jnp.stack([w1, w2]) for w1, w2 in zip(q1["w"], q2["w"])],
-            "b": [jnp.stack([b1, b2]) for b1, b2 in zip(q1["b"], q2["b"])]}
+    return {"q1": mlp_init(k1, sizes), "q2": mlp_init(k2, sizes)}
 
 
 def twin_q_apply(params, obs, action):
     xu = jnp.concatenate([obs, action], axis=-1)
     if "q1" in params:
         return mlp_apply(params["q1"], xu), mlp_apply(params["q2"], xu)
+    # STACKED layout (nlbac_tpu.experimental.stack_twin_q_state: one leaf
+    # per layer with a leading k=2 axis; measured-loss A/B variant) —
+    # one batched einsum per layer instead of two MLP applies.
     ws, bs = params["w"], params["b"]
     # first layer shares the (B, in) input across the k=2 axis without
     # materializing a broadcast copy
@@ -62,7 +50,7 @@ def twin_q_unstack(params):
 
 def twin_q_stack(params):
     """Plain {'q1','q2'} -> stacked layout (weight import under
-    SacConfig.stacked_twin_q)."""
+    nlbac_tpu.experimental.stack_twin_q_state)."""
     if "q1" not in params:
         return params
     q1, q2 = params["q1"], params["q2"]

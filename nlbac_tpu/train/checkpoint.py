@@ -214,7 +214,8 @@ def save_model_weights(output_dir: str, ts, include_barrier: bool = False
     files = {
         "actor.pkl": ts.policy,
         # always export the reference's {'q1','q2'} layout, independent
-        # of SacConfig.stacked_twin_q's in-memory layout
+        # of the experimental stacked in-memory layout
+        # (nlbac_tpu.experimental.stack_twin_q_state)
         "critic.pkl": twin_q_unstack(ts.critic),
         "lyapunov.pkl": ts.lyap,
         "node_model.pkl": ts.node,

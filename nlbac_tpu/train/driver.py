@@ -75,8 +75,8 @@ def _zero_train_metrics():
              "barrier_td_loss", "rho", "lam_max")}
 
 
-def make_episode_runner(cfg: NLBACConfig, env_override=None,
-                        fused_rl_gather: bool = False):
+def make_episode_runner(cfg: NLBACConfig, env_override=None, *,
+                        _update_step=None, _agent=None, dp_mesh=None):
     """Build ``run_episode(ts, rl_replay, node_replay, key, i_episode,
     total_steps) -> (ts, rl_replay, node_replay, EpisodeMetrics,
     total_steps)`` — jit it once, reuse across episodes.
@@ -84,10 +84,20 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
     ``env_override`` runs a non-registry env (e.g. a HostEnvAdapter for
     safe-control-gym physics) under the same fused loop; note host envs
     step through ordered io_callbacks, so the loop is only as fast as the
-    host physics."""
+    host physics.
+
+    ``_update_step(agent, carry, kupd, i_episode) -> (ts, train_metrics)``
+    overrides the per-env-step gradient-update block (experimental
+    variants only — see nlbac_tpu.experimental; the default is the
+    reference's updates_per_step sequential ``agent.update`` calls).
+
+    ``dp_mesh`` shards the update batches over the mesh's 'dp' axis
+    (data-parallel training; see parallel/mesh.py make_dp_episode_runner
+    for the user-facing wrapper)."""
     env = env_override if env_override is not None else \
         get_env(cfg.env.name)
-    agent = make_agent(cfg, env_override=env_override)
+    agent = _agent if _agent is not None else \
+        make_agent(cfg, env_override=env_override, dp_mesh=dp_mesh)
     scfg, ccfg = cfg.sac, cfg.constraint
     dt = cfg.env.dt
     max_steps = cfg.env.max_episode_steps
@@ -162,6 +172,23 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
             f"constraint.use_backup=True (got False): the backup "
             f"controller it would engage is never trained or sampled")
 
+    # The per-env-step gradient-update block (UNI/main.py:60-74):
+    # updates_per_step sequential agent.update calls, each sampling its
+    # own batch. The RNG splits here define the canonical key stream —
+    # any _update_step override must reproduce them to stay
+    # bit-identical (nlbac_tpu.experimental.fused_gather_update_step
+    # does, and its test pins it).
+    if _update_step is None:
+        def _update_step(agent_, c, kupd, i_episode):
+            ts, train_m = c.ts, c.metrics.train
+            ks = jax.random.split(kupd, scfg.updates_per_step)
+            for i in range(scfg.updates_per_step):
+                ts, train_m = agent_.update(ts, c.rl_replay,
+                                            c.node_replay, ks[i],
+                                            i_episode)
+            return ts, train_m
+    update_step = _update_step
+
     def run_episode(ts, rl_replay, node_replay, key, i_episode,
                     total_steps):
         key, krst = jax.random.split(key)
@@ -202,38 +229,7 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None,
             # ~batch_size steps of the whole run, so the wasted compute is
             # negligible while keeping one branch-free loop body.
             can_update = c.rl_replay.size > scfg.batch_size
-            ts, train_m = c.ts, c.metrics.train
-            ks = jax.random.split(kupd, scfg.updates_per_step)
-            if fused_rl_gather and scfg.updates_per_step > 1:
-                # ONE (updates_per_step*B)-row gather per step instead of
-                # one per update: the buffer is not written between the
-                # unrolled updates, so drawing every update's indices
-                # up-front (with the exact splits agent.update would
-                # make) yields bit-identical batches from fewer memory
-                # ops.  MEASURED: noise-level (2236 vs 2252 steps/s
-                # interleaved medians, scripts/ab_fused_gather.py) — the
-                # one saved 128-row gather is ~µs.  Default stays off to
-                # keep the canonical validated program; the lever is kept
-                # for reproducibility of the measurement.
-                B = scfg.batch_size
-                sub = [jax.random.split(ks[i], 3)
-                       for i in range(scfg.updates_per_step)]
-                hi = jnp.maximum(c.rl_replay.size, 1)
-                idx = jnp.concatenate([
-                    jax.random.randint(sub[i][0], (B,), 0, hi)
-                    for i in range(scfg.updates_per_step)])
-                rows = c.rl_replay.data[idx]
-                for i in range(scfg.updates_per_step):
-                    batch = replay_lib.unpack_rows(
-                        c.rl_replay.layout, rows[i * B:(i + 1) * B])
-                    ts, train_m = agent.update_presampled(
-                        ts, batch, c.node_replay, sub[i][1], sub[i][2],
-                        i_episode)
-            else:
-                for i in range(scfg.updates_per_step):
-                    ts, train_m = agent.update(ts, c.rl_replay,
-                                               c.node_replay, ks[i],
-                                               i_episode)
+            ts, train_m = update_step(agent, c, kupd, i_episode)
             sel = lambda new, old: jax.tree.map(
                 lambda n, o: jax.lax.select_n(
                     can_update.astype(jnp.int32), o, n), new, old)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Interleaved A/B: decoupled policy/TD updates vs the reference order.
 
-Variant "decoupled" sets SacConfig.decoupled_updates=True: the policy
+Variant "decoupled" uses nlbac_tpu.experimental.make_decoupled_episode_runner: the policy
 and backup-policy losses read the PRE-update critic/Lyapunov/barrier/
 NODE params, so the TD-update subgraphs and the policy subgraph share
 no data dependency. The reference order (policy loss at the
@@ -45,17 +45,16 @@ def main():
         base, env=dataclasses.replace(base.env, max_episode_steps=steps),
         sac=dataclasses.replace(base.sac, start_steps=200))
 
-    cfgs = {
-        "decoupled": dataclasses.replace(
-            base, sac=dataclasses.replace(base.sac,
-                                          decoupled_updates=True)),
-        "coupled": base,
+    from nlbac_tpu.experimental import make_decoupled_episode_runner
+
+    runners = {
+        "decoupled": jax.jit(make_decoupled_episode_runner(base)),
+        "coupled": jax.jit(make_episode_runner(base)),
     }
-    runners, states = {}, {}
-    for name, cfg in cfgs.items():
-        runners[name] = jax.jit(make_episode_runner(cfg))
-        ts = create_train_state(cfg, jax.random.PRNGKey(0))
-        rl, node = create_replays(cfg)
+    states = {}
+    for name in runners:
+        ts = create_train_state(base, jax.random.PRNGKey(0))
+        rl, node = create_replays(base)
         states[name] = (ts, rl, node, jax.random.PRNGKey(1), jnp.int32(0))
 
     results = {n: [] for n in runners}

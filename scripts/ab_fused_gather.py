@@ -39,9 +39,12 @@ def main():
         sac=dataclasses.replace(cfg.sac, start_steps=200,
                                 updates_per_step=2))
 
+    from nlbac_tpu.experimental import fused_gather_update_step
+
     runners = {
-        "fused": jax.jit(make_episode_runner(cfg, fused_rl_gather=True)),
-        "split": jax.jit(make_episode_runner(cfg, fused_rl_gather=False)),
+        "fused": jax.jit(make_episode_runner(
+            cfg, _update_step=fused_gather_update_step(cfg))),
+        "split": jax.jit(make_episode_runner(cfg)),
     }
     states = {}
     for name in runners:

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Interleaved A/B: STORED-stacked twin-Q vs the plain {'q1','q2'} layout.
 
-Variant "stacked" sets SacConfig.stacked_twin_q=True: the two Q-nets'
+Variant "stacked" uses nlbac_tpu.experimental.stack_twin_q_state: the two Q-nets'
 layer weights live as one leaf per layer with a leading k=2 axis, so
 every twin-Q forward is one batched einsum per layer (half the matmul op
 count) and the critic's Adam/soft-update touch half as many leaves.
@@ -44,16 +44,15 @@ def main():
         base, env=dataclasses.replace(base.env, max_episode_steps=steps),
         sac=dataclasses.replace(base.sac, start_steps=200))
 
-    cfgs = {
-        "stacked": dataclasses.replace(
-            base, sac=dataclasses.replace(base.sac, stacked_twin_q=True)),
-        "plain": base,
-    }
+    from nlbac_tpu.experimental import stack_twin_q_state
+
     runners, states = {}, {}
-    for name, cfg in cfgs.items():
-        runners[name] = jax.jit(make_episode_runner(cfg))
-        ts = create_train_state(cfg, jax.random.PRNGKey(0))
-        rl, node = create_replays(cfg)
+    for name in ("stacked", "plain"):
+        runners[name] = jax.jit(make_episode_runner(base))
+        ts = create_train_state(base, jax.random.PRNGKey(0))
+        if name == "stacked":
+            ts = stack_twin_q_state(base, ts)
+        rl, node = create_replays(base)
         states[name] = (ts, rl, node, jax.random.PRNGKey(1), jnp.int32(0))
 
     results = {n: [] for n in runners}

@@ -508,8 +508,9 @@ def test_probe_pretanh_reg_targets_ground_obs():
 
 
 def test_decoupled_updates_semantics():
-    """Perf lever (SacConfig.decoupled_updates): the policy-gradient
-    paths read the PRE-update critic/Lyapunov/barrier/NODE params.
+    """Experimental lever (nlbac_tpu.experimental.make_decoupled_agent):
+    the policy-gradient paths read the PRE-update
+    critic/Lyapunov/barrier/NODE params.
 
     Pins three facts: (1) the TD losses are untouched (they are pure
     functions of the pre-update state, compared as metrics — post-Adam
@@ -522,14 +523,14 @@ def test_decoupled_updates_semantics():
     coincide and the two modes match everywhere to compiler-rounding
     tolerance — the flag's only effect is which side of the optimizer
     step the policy loss reads."""
+    from nlbac_tpu.experimental import make_decoupled_agent
+
     cfg0 = tiny("unicycle")
-    dec = dataclasses.replace(
-        cfg0, sac=dataclasses.replace(cfg0.sac, decoupled_updates=True))
     ts = create_train_state(cfg0, jax.random.PRNGKey(0))
     buf = fill_replay(cfg0)
     args = (ts, buf, buf, jax.random.PRNGKey(5), jnp.int32(0))
     tsc, mc = jax.jit(make_agent(cfg0).update)(*args)
-    tsd, md = jax.jit(make_agent(dec).update)(*args)
+    tsd, md = jax.jit(make_decoupled_agent(cfg0).update)(*args)
     for k in ("qf1_loss", "qf2_loss", "lf_loss"):
         np.testing.assert_allclose(np.asarray(mc[k]), np.asarray(md[k]),
                                    rtol=1e-5, atol=1e-7)
@@ -540,11 +541,8 @@ def test_decoupled_updates_semantics():
         cfg0,
         sac=dataclasses.replace(cfg0.sac, critic_lr=0.0),
         node=dataclasses.replace(cfg0.node, fit_episode_limit=-1))
-    frozen_dec = dataclasses.replace(
-        frozen, sac=dataclasses.replace(frozen.sac,
-                                        decoupled_updates=True))
     tsc, _ = jax.jit(make_agent(frozen).update)(*args)
-    tsd, _ = jax.jit(make_agent(frozen_dec).update)(*args)
+    tsd, _ = jax.jit(make_decoupled_agent(frozen).update)(*args)
     for a, b in zip(jax.tree.leaves(tsc), jax.tree.leaves(tsd)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)

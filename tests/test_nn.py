@@ -197,15 +197,16 @@ def test_node_field_bf16_compute_option():
 
 
 def test_stacked_twin_q_matches_plain():
-    """SacConfig.stacked_twin_q stores the same numbers in a stacked
-    layout: init leaves are identical per network, the forward matches
-    the two plain MLP applies to f32 tolerance, and stack/unstack
+    """The experimental stacked twin-Q layout
+    (nlbac_tpu.experimental.stack_twin_q_state) stores the same numbers:
+    stacked leaves are identical per network, the forward matches the
+    two plain MLP applies to f32 tolerance, and stack/unstack
     round-trips exactly."""
     from nlbac_tpu.nn import twin_q_stack, twin_q_unstack
 
     key = jax.random.PRNGKey(8)
     plain = twin_q_init(key, 7, 2, 32)
-    stacked = twin_q_init(key, 7, 2, 32, stacked=True)
+    stacked = twin_q_stack(plain)
     # same init values, different layout
     for i, (w1, w2) in enumerate(zip(plain["q1"]["w"], plain["q2"]["w"])):
         np.testing.assert_array_equal(stacked["w"][i][0], w1)
@@ -223,13 +224,14 @@ def test_stacked_twin_q_matches_plain():
 
 
 def test_stacked_twin_q_episode_equivalence():
-    """A full compiled episode (env + replay + updates) under
-    stacked_twin_q=True matches the plain layout to f32 tolerance —
-    the lever is a pure layout change."""
+    """A full compiled episode (env + replay + updates) with the
+    experimental stacked twin-Q state matches the plain layout to f32
+    tolerance — the lever is a pure layout change."""
     import dataclasses as dc
 
     from nlbac_tpu.agent import create_train_state
     from nlbac_tpu.config import ReplayConfig, get_config
+    from nlbac_tpu.experimental import stack_twin_q_state
     from nlbac_tpu.train.driver import create_replays, make_episode_runner
 
     base = get_config("unicycle")
@@ -244,9 +246,10 @@ def test_stacked_twin_q_episode_equivalence():
     )
     rewards = {}
     for flag in (False, True):
-        cfg = dc.replace(base, sac=dc.replace(base.sac,
-                                              stacked_twin_q=flag))
+        cfg = base
         ts = create_train_state(cfg, jax.random.PRNGKey(3))
+        if flag:
+            ts = stack_twin_q_state(cfg, ts)
         rl, node = create_replays(cfg)
         run = jax.jit(make_episode_runner(cfg))
         ts, rl, node, m, _ = run(ts, rl, node, jax.random.PRNGKey(4),

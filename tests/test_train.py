@@ -107,10 +107,14 @@ def test_fused_rl_gather_bit_equal():
     it draws the exact index splits agent.update would make, and the
     buffer is not written between the unrolled updates.  Measured
     noise-level on TPU (scripts/ab_fused_gather.py), kept default-off."""
+    from nlbac_tpu.experimental import fused_gather_update_step
+
     cfg = tiny_config("unicycle", max_steps=30)
     cfg = dataclasses.replace(
         cfg, sac=dataclasses.replace(cfg.sac, updates_per_step=2))
-    runs = {f: jax.jit(make_episode_runner(cfg, fused_rl_gather=f))
+    runs = {f: jax.jit(make_episode_runner(
+                cfg, _update_step=(fused_gather_update_step(cfg) if f
+                                   else None)))
             for f in (False, True)}
     outs = {}
     for f, run in runs.items():
