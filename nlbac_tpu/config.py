@@ -45,6 +45,15 @@ class NodeConfig:
     update_interval: int = 10  # --NODE_model_update_interval default
     max_batch: int = 32768  # UNI/sac_cbf_clf/sac_cbf_clf.py:206
     fit_episode_limit: Optional[int] = None  # PVTOL: fit only while ep<=100
+    # Deliberate parity deviation (PARITY.md "Deviations from the
+    # reference"): the reference pushes NODE-buffer transition times one
+    # dt LATE — t=step*dt / next_t=(step+1)*dt vs the RL buffer's
+    # (step-1)*dt / step*dt (CARS main.py:90-97; same in every variant)
+    # — which only perturbs the Cars time-input feature. We default to
+    # the physically-consistent label shared with the RL buffer; set
+    # True (--reference_time_labels) to reproduce the reference's
+    # off-by-one-dt NODE times bit-faithfully.
+    reference_time_labels: bool = False
 
     @property
     def input_dim(self) -> int:

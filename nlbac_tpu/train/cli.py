@@ -167,6 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "run; presets keep their gate when absent")
     p.add_argument("--node_solver", default=None,
                    choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
+    p.add_argument("--reference_time_labels", action="store_true",
+                   help="push the reference's off-by-one-dt NODE-buffer "
+                        "transition times (t=step*dt) instead of the "
+                        "physically-consistent default ((step-1)*dt, "
+                        "shared with the RL buffer). Only the Cars "
+                        "time-input NODE feature sees the difference; "
+                        "set this for bit-faithful Cars reproduction "
+                        "(PARITY.md 'Deviations from the reference')")
     p.add_argument("--replay_size", type=int, default=None)
     # logging
     p.add_argument("--wandb", action="store_true")
@@ -252,7 +260,9 @@ def config_from_args(args) -> NLBACConfig:
         node=rep(cfg.node,
                  update_interval=args.NODE_model_update_interval,
                  fit_episode_limit=args.NODE_fit_episode_limit,
-                 solver=args.node_solver),
+                 solver=args.node_solver,
+                 reference_time_labels=(True if args.reference_time_labels
+                                        else None)),
         run=rep(cfg.run, seed=args.seed,
                 max_episodes=args.max_episodes, output=args.output,
                 log_wandb=True if args.wandb else None,

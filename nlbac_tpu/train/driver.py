@@ -17,7 +17,9 @@ Semantics notes vs the reference:
 - transition times: we store t = (step-1)*dt (time at transition start)
   and next_t = step*dt for BOTH buffers; the reference's NODE buffer is
   off by one dt (UNI/main.py:102-104) which only perturbs the Cars
-  time-input feature — we use the physically-consistent time.
+  time-input feature — we default to the physically-consistent time,
+  and NodeConfig.reference_time_labels (--reference_time_labels)
+  restores the reference's off-by-one-dt NODE labels bit-faithfully.
 """
 
 from __future__ import annotations
@@ -264,7 +266,15 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None, *,
                                               t + dt)
             rl_replay = replay_lib.push(c.rl_replay, rec,
                                         do_push=~use_backup)
-            node_replay = replay_lib.push(c.node_replay, rec)
+            if cfg.node.reference_time_labels:
+                # faithful mode: the reference's NODE buffer is one dt
+                # late (CARS/main.py:95-97 pushes t=step*dt vs the RL
+                # buffer's (step-1)*dt; see NodeConfig)
+                node_rec = replay_lib.record_from_step(
+                    c.obs, action, out, mask, t + dt, t + 2.0 * dt)
+            else:
+                node_rec = rec
+            node_replay = replay_lib.push(c.node_replay, node_rec)
 
             # --- 5. supervisor trigger machine ---------------------------
             sup = post_step(cfg.supervisor, sup, c.obs, out, episode_steps,

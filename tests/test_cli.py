@@ -31,6 +31,11 @@ def test_config_from_args_mapping():
     # untouched fields keep preset values
     assert cfg.constraint.horizon == 2
     assert cfg.node.time_input
+    # default: physically-consistent NODE times; flag restores reference's
+    assert not cfg.node.reference_time_labels
+    args2 = build_parser().parse_args(["--preset", "cars",
+                                       "--reference_time_labels"])
+    assert config_from_args(args2).node.reference_time_labels
 
 
 def test_train_writes_all_artifacts(tmp_path):

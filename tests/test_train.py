@@ -56,6 +56,37 @@ def test_episode_runs_all_variants(preset):
     assert int(rl.size) <= int(node.size)
 
 
+def test_reference_time_labels():
+    """NodeConfig.reference_time_labels restores the reference's
+    off-by-one-dt NODE-buffer times (CARS/main.py:90-97: RL buffer gets
+    t=(step-1)*dt, NODE buffer t=step*dt); the default labels both
+    buffers with the physically-consistent (step-1)*dt. The RL buffer is
+    identical in both modes."""
+    base = tiny_config("cars", max_steps=20)
+    dt = base.env.dt
+    for faithful in (False, True):
+        cfg = dataclasses.replace(
+            base, node=dataclasses.replace(base.node,
+                                           reference_time_labels=faithful))
+        ts = create_train_state(cfg, jax.random.PRNGKey(0))
+        rl, node = create_replays(cfg)
+        run = jax.jit(make_episode_runner(cfg))
+        ts, rl, node, m, _ = run(ts, rl, node, jax.random.PRNGKey(1),
+                                 jnp.int32(0), jnp.int32(0))
+        n = int(m.steps)
+        rl_t = np.asarray(rl.field("t"))[:n]
+        node_t = np.asarray(node.field("t"))[:n]
+        node_nt = np.asarray(node.field("next_t"))[:n]
+        # RL buffer: physically-consistent labels in BOTH modes
+        np.testing.assert_allclose(rl_t, np.arange(n) * dt, atol=1e-6)
+        shift = dt if faithful else 0.0
+        np.testing.assert_allclose(node_t, np.arange(n) * dt + shift,
+                                   atol=1e-6)
+        np.testing.assert_allclose(node_nt,
+                                   (np.arange(n) + 1) * dt + shift,
+                                   atol=1e-6)
+
+
 def test_lagrangian_state_evolves():
     cfg = tiny_config("unicycle")
     ts = create_train_state(cfg, jax.random.PRNGKey(1))
