@@ -2,20 +2,26 @@
 reference's vendored-but-dead MPI layer (UNI/utils/mpi_tools.py,
 mpi_pytorch.py — never invoked by any training path; SURVEY.md §2.3).
 
-Two first-class modes, composable on a 2-D ('seed', 'dp') mesh:
+Two first-class modes, composable:
 
-- **Seed-parallel** (replaces ``mpi_fork``): N independent training states
-  — one seed per device row — advance in lockstep under one jitted,
-  vmapped episode program.  No cross-seed communication; XLA simply lays
-  each seed's slice on its own devices.
-- **Data-parallel** (replaces ``mpi_avg_grads``): the batch axis of the
-  update step is sharded over 'dp'; GSPMD turns every batch-mean reduction
-  into a psum over ICI automatically (gradients included), which is
-  exactly mpi_avg_grads without any hand-written collective.
+- **Seed-parallel** (replaces ``mpi_fork``; CLI ``--n_seeds``): N
+  independent training states, one per device (async dispatch — the
+  measured fast path) or one per mesh row (lockstep vmap).
+- **Data-parallel** (replaces ``mpi_avg_grads``; CLI ``--dp``): the
+  update batches INSIDE the fused episode program are sharded over a
+  'dp' mesh axis (:func:`make_dp_episode_runner`); GSPMD turns every
+  batch-mean reduction into a psum over ICI automatically (gradients
+  included), which is exactly mpi_avg_grads without any hand-written
+  collective.  A multi-episode dp training run reproduces the
+  single-device run to f32 tolerance (dryrun_multichip step 5).
+- ``--n_seeds X --dp Y`` composes them: each seed trains dp-sharded on
+  its own disjoint group of Y devices (``make_async_seed_runner(dp=)``).
 
 Host-side multi-process init (``jax.distributed.initialize``) is wrapped
-by :func:`init_distributed`, and rank-0-gated logging mirrors the
-reference's ``proc_id()==0`` convention.
+by :func:`init_distributed` and invoked by the CLI's
+``--coordinator/--num_processes/--process_id`` flags; rank-0-gated
+logging in train/cli.py mirrors the reference's ``proc_id()==0``
+convention.
 """
 
 from __future__ import annotations
@@ -123,7 +129,7 @@ def make_seed_parallel_runner(cfg: NLBACConfig, mesh: Mesh,
 
 
 def make_async_seed_runner(cfg: NLBACConfig, devices=None,
-                           n_seeds: Optional[int] = None):
+                           n_seeds: Optional[int] = None, dp: int = 1):
     """Fast seed-parallel training: one independent training state PER
     DEVICE, advanced by async dispatch of the PLAIN (unbatched) episode
     program — each chip runs at full single-chip speed.
@@ -146,8 +152,54 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
     Seed ``i`` uses PRNG seed ``base_seed + i`` with exactly the key
     stream of a single-seed ``train.cli.train`` run, so each row is
     bit-reproducible as a standalone run.
+
+    ``dp > 1`` composes seed- and data-parallelism the fast way: the
+    devices are cut into ``len(devices)//dp`` disjoint groups, each seed
+    trains on its own group with the dp-sharded episode program
+    (:func:`make_dp_episode_runner` — batch psums ride ICI *within* the
+    group), and seeds stay independent across groups under async
+    dispatch (no lockstep vmap masking).  This is the ``--n_seeds X
+    --dp Y`` layout of a (seed, dp) mesh without the measured 2.3x
+    lockstep penalty of vmapping the episode.
     """
     devices = devices if devices is not None else jax.devices()
+    if dp > 1:
+        n_groups = len(devices) // dp
+        if n_groups < 1:
+            raise ValueError(f"dp={dp} needs at least {dp} devices, have "
+                             f"{len(devices)}")
+        n_seeds = n_groups if n_seeds is None else n_seeds
+        groups = [devices[g * dp:(g + 1) * dp] for g in range(n_groups)]
+        placed = [make_dp_episode_runner(cfg, dp, devices=grp)
+                  for grp in groups]
+
+        def init_fn_dp(base_seed: int):
+            states = []
+            for i in range(n_seeds):
+                place, _ = placed[i % n_groups]
+                key = jax.random.PRNGKey(base_seed + i)
+                key, kinit = jax.random.split(key)
+                ts = create_train_state(cfg, kinit)
+                rl, node = create_replays(cfg)
+                states.append(list(place(
+                    (ts, rl, node, key, jnp.int32(0)))))
+            return states
+
+        def step_fn_dp(states, i_episode, block=True):
+            metrics = []
+            for i, st in enumerate(states):
+                _, run = placed[i % n_groups]
+                ts, rl, node, key, total = st
+                key, kep = jax.random.split(key)
+                ts, rl, node, m, total = run(ts, rl, node, kep,
+                                             jnp.int32(i_episode), total)
+                st[0], st[1], st[2], st[3], st[4] = ts, rl, node, key, total
+                metrics.append(m)
+            if block:
+                jax.block_until_ready([m.reward for m in metrics])
+            return states, metrics
+
+        return init_fn_dp, step_fn_dp
     n_seeds = len(devices) if n_seeds is None else n_seeds
     # Built lazily on the first step so the AOT lowering cache
     # (train/aot.py) can key off real example avals: on the axon backend
@@ -179,7 +231,11 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
                            jax.device_put(jnp.int32(0), dev)])
         return states
 
-    def step_fn(states, i_episode):
+    def step_fn(states, i_episode, block=True):
+        """``block=False`` returns right after dispatch (async futures in
+        ``metrics``) — callers that overlap the previous episode's host
+        fetch with this episode's device compute use it (the pipelined
+        --n_seeds loop; measured win in scripts/ab_pipelined_fetch.py)."""
         metrics = []
         run = _get_run(states[0])
         # dispatch all devices first (async), then collect
@@ -190,10 +246,50 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
                                          jnp.int32(i_episode), total)
             st[0], st[1], st[2], st[3], st[4] = ts, rl, node, key, total
             metrics.append(m)
-        jax.block_until_ready([m.reward for m in metrics])
+        if block:
+            jax.block_until_ready([m.reward for m in metrics])
         return states, metrics
 
     return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel TRAINING (the user-invocable --dp mode)
+# ---------------------------------------------------------------------------
+
+def make_dp_episode_runner(cfg: NLBACConfig, n_devices: int,
+                           devices=None):
+    """Build the FULL episode program data-parallel over ``n_devices``:
+    the update batches inside the fused while_loop are sharded over a
+    1-D ('dp',) mesh (sharding constraints in agent/update.py), so GSPMD
+    turns every batch-mean reduction — gradients included — into psums
+    over ICI while env stepping / replay / supervisor state stays
+    replicated.  Certified: a multi-episode dp training run reproduces
+    the single-device run to f32 tolerance (__graft_entry__.py
+    dryrun_multichip step 5; tests/test_parallel.py).
+
+    Returns ``(place, run_fn)``: ``place`` replicates the training state
+    over the mesh (call it once on (ts, rl, node, ...)); ``run_fn`` has
+    the plain episode-runner signature.  ``cfg.sac.batch_size`` and
+    ``cfg.node.max_batch`` must divide ``n_devices`` evenly — validated
+    loudly here, not silently padded."""
+    from nlbac_tpu.train.driver import make_episode_runner
+
+    for name, val in (("sac.batch_size", cfg.sac.batch_size),
+                      ("node.max_batch", cfg.node.max_batch)):
+        if val % n_devices != 0:
+            raise ValueError(
+                f"--dp {n_devices} requires cfg.{name} ({val}) to be "
+                f"divisible by the dp width (uneven shards would change "
+                f"the batch-mean normalization)")
+    mesh = make_mesh((n_devices,), ("dp",), devices=devices)
+    replicated = NamedSharding(mesh, P())
+
+    def place(tree):
+        return jax.device_put(tree, replicated)
+
+    run_fn = jax.jit(make_episode_runner(cfg, dp_mesh=mesh))
+    return place, run_fn
 
 
 # ---------------------------------------------------------------------------

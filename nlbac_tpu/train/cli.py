@@ -59,6 +59,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "Per-seed output lands in <output>/s<seed>/")
     p.add_argument("--output", default="output")
     p.add_argument("--mode", default="train", choices=["train", "eval"])
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel width: shard the update batches "
+                        "of the fused episode program over a ('dp',) "
+                        "device mesh (GSPMD inserts the gradient psums "
+                        "over ICI; numerics reproduce the single-device "
+                        "run to f32 tolerance — certified in "
+                        "dryrun_multichip). Composes with --n_seeds: "
+                        "each seed trains dp-sharded on its own disjoint "
+                        "group of dp devices. Requires batch_size and "
+                        "the NODE max_batch divisible by the width")
+    # multi-host launch (jax.distributed): one process per host, same
+    # command everywhere apart from --process_id. The successor to the
+    # reference's vendored-but-dead mpi_fork (UNI/utils/mpi_tools.py).
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port "
+                        "(jax.distributed.initialize); required with "
+                        "--num_processes > 1")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="number of cooperating host processes (multi-"
+                        "host --dp; 1 = single-process, the default)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank in [0, num_processes); "
+                        "required with --num_processes > 1. Only rank 0 "
+                        "writes logs/checkpoints")
     p.add_argument("--policy", default=None,
                    choices=["Gaussian", "Deterministic"],
                    help="Policy type (reference --policy flag)")
@@ -293,8 +317,15 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache_nlbac") -> None:
 
 def train(cfg: NLBACConfig, output_dir: str | None = None,
           quiet: bool = False, checkpoint_path: str | None = None,
-          profile_dir: str | None = None, resume_path: str | None = None):
-    """The training loop (UNI/main.py train() equivalent)."""
+          profile_dir: str | None = None, resume_path: str | None = None,
+          dp: int = 1):
+    """The training loop (UNI/main.py train() equivalent).
+
+    ``dp > 1`` runs the SAME loop with the episode program's update
+    batches sharded over a ('dp',) mesh of ``dp`` devices (state
+    replicated; GSPMD inserts the gradient psums) — numerics reproduce
+    the dp=1 run to f32 tolerance (certified in dryrun_multichip and
+    tests/test_parallel.py)."""
     logger_dir = output_dir
     logger = EpochLogger(logger_dir, quiet=quiet)
     logger.save_config(cfg)
@@ -325,13 +356,25 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # buffers in place, but buffer donation trips the axon TPU runtime
         # (InvalidArgument at execution); the copies cost ~0.1ms/episode,
         # so run un-donated.
-        # AOT cache: reuse the serialized lowered module across process
-        # restarts (lowering through the axon remote backend takes
-        # 5-300s; deserializing takes ~0.03s — see train/aot.py)
-        from nlbac_tpu.train.aot import cached_episode_runner
-        run_episode = cached_episode_runner(
-            cfg, (ts, rl_replay, node_replay, key, jnp.int32(0),
-                  jnp.int32(0)))
+        if dp > 1:
+            # dp mode: plain jit (a jax.export'd module pins the device
+            # assignment, so the AOT lowering cache stays dp=1-only; the
+            # persistent XLA compilation cache still covers the
+            # executable). place() replicates the training state over
+            # the mesh; the sharding constraints inside the program do
+            # the actual batch partitioning.
+            from nlbac_tpu.parallel import make_dp_episode_runner
+            place, run_episode = make_dp_episode_runner(cfg, dp)
+            ts, rl_replay, node_replay = place((ts, rl_replay,
+                                                node_replay))
+        else:
+            # AOT cache: reuse the serialized lowered module across
+            # process restarts (lowering through the axon remote backend
+            # takes 5-300s; deserializing takes ~0.03s — see train/aot.py)
+            from nlbac_tpu.train.aot import cached_episode_runner
+            run_episode = cached_episode_runner(
+                cfg, (ts, rl_replay, node_replay, key, jnp.int32(0),
+                      jnp.int32(0)))
 
     total_steps = (jnp.int32(total0) if resume_path is not None
                    else jnp.int32(0))
@@ -496,7 +539,8 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
 
 
 def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
-                     output_root: str | None, quiet: bool = False):
+                     output_root: str | None, quiet: bool = False,
+                     dp: int = 1):
     """Seed-parallel training (``--n_seeds``): N independent seeds advance
     concurrently by async dispatch of the plain episode program, laid out
     one-per-device round-robin (parallel/mesh.py, the measured fast path)
@@ -542,7 +586,8 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
 
     timer = StepTimer()
     with timer.time("init"):
-        init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=n_seeds)
+        init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=n_seeds,
+                                                  dp=dp)
         states = init_fn(cfg.run.seed)
 
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
@@ -646,6 +691,15 @@ def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-host init FIRST: jax.distributed.initialize must run before
+    # any backend use so every process sees the global device set
+    if args.num_processes > 1:
+        if not args.coordinator or args.process_id is None:
+            raise SystemExit("--num_processes > 1 requires --coordinator "
+                             "host:port and --process_id")
+        from nlbac_tpu.parallel import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     cfg = config_from_args(args)
     enable_compilation_cache()
     if args.mode == "eval":
@@ -664,6 +718,9 @@ def main(argv=None):
             raise SystemExit(
                 "--n_seeds has no effect with --mode eval — evaluate "
                 "each s<seed>/ run dir separately")
+        if args.dp > 1 or args.num_processes > 1:
+            raise SystemExit("--dp/--num_processes are training flags; "
+                             "they have no effect with --mode eval")
         from nlbac_tpu.agent import create_train_state
         from nlbac_tpu.train.checkpoint import load_model_weights
         from nlbac_tpu.utils.evaluate import run_policy
@@ -673,7 +730,17 @@ def main(argv=None):
                                     cfg.constraint.kind))
         run_policy(cfg, ts, episodes=5, seed=cfg.run.seed)
         return
-    out = get_output_folder(args.output, cfg.env.name)
+    if args.dp > 1 and jax.device_count() < args.dp:
+        raise SystemExit(f"--dp {args.dp} needs {args.dp} devices; this "
+                         f"process sees {jax.device_count()} "
+                         f"({jax.default_backend()})")
+    # rank-0 gating (multi-host --dp): every process runs the same
+    # program (GSPMD requires it), but only rank 0 owns the output dir,
+    # progress.txt, and checkpoints — the reference's proc_id()==0
+    # convention (UNI/utils/logx.py via mpi_tools.proc_id)
+    from nlbac_tpu.parallel import is_rank0
+    rank0 = is_rank0()
+    out = get_output_folder(args.output, cfg.env.name) if rank0 else None
     if args.n_seeds > 1:
         # Loud failure beats silent loss: multi-seed has no checkpoint/
         # resume/profile/wandb path, and silently restarting from scratch
@@ -695,17 +762,25 @@ def main(argv=None):
             f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
             f"backend={jax.default_backend()} seeds={cfg.run.seed}.."
             f"{cfg.run.seed + args.n_seeds - 1} over "
-            f"{jax.device_count()} device(s) -> {out}", "green",
-            bold=True))
-        train_multi_seed(cfg, args.n_seeds, out, quiet=args.quiet)
+            f"{jax.device_count()} device(s)"
+            + (f" x dp={args.dp}" if args.dp > 1 else "")
+            + f" -> {out}", "green", bold=True))
+        train_multi_seed(cfg, args.n_seeds, out, quiet=args.quiet,
+                         dp=args.dp)
         return
-    lk = setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed, data_dir=out)
+    lk = (setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed, data_dir=out)
+          if rank0 else {"output_dir": None})
     print(colorize(f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
-                   f"backend={jax.default_backend()} -> {out}", "green",
-                   bold=True))
-    train(cfg, output_dir=lk["output_dir"], quiet=args.quiet,
-          checkpoint_path=args.checkpoint, profile_dir=args.profile_dir,
-          resume_path=args.resume)
+                   f"backend={jax.default_backend()}"
+                   + (f" dp={args.dp}" if args.dp > 1 else "")
+                   + (f" rank={jax.process_index()}/{args.num_processes}"
+                      if args.num_processes > 1 else "")
+                   + f" -> {out}", "green", bold=True))
+    train(cfg, output_dir=lk["output_dir"],
+          quiet=args.quiet or not rank0,
+          checkpoint_path=args.checkpoint if rank0 else None,
+          profile_dir=args.profile_dir, resume_path=args.resume,
+          dp=args.dp)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,20 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # README.md:59 hyperparameters
-python train.py --preset pvtol \
+# Data-parallel width (one process): DP=N shards the update batches
+# over N local devices (GSPMD psums over ICI; --dp in train/cli.py).
+# Multi-host: launch one task per host with the same command and set
+# COORDINATOR=host0:1234 NUM_PROCESSES=$SLURM_NTASKS
+# PROCESS_ID=$SLURM_PROCID — rank 0 owns logs/checkpoints.
+DIST_FLAGS=()
+[[ "${DP:-1}" != 1 ]] && DIST_FLAGS+=(--dp "$DP")
+if [[ "${NUM_PROCESSES:-1}" != 1 ]]; then
+  DIST_FLAGS+=(--coordinator "$COORDINATOR" \
+               --num_processes "$NUM_PROCESSES" \
+               --process_id "${PROCESS_ID:-$SLURM_PROCID}")
+fi
+
+python train.py --preset pvtol "${DIST_FLAGS[@]}" \
     --gamma_b 0.8 --updates_per_step 1 --batch_size 256 \
     --start_steps 1000 --seed "${SEED:-12345}" \
     --output "${OUTPUT:-output}"

@@ -14,7 +14,20 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # README.md:43 hyperparameters
-python train.py --preset unicycle \
+# Data-parallel width (one process): DP=N shards the update batches
+# over N local devices (GSPMD psums over ICI; --dp in train/cli.py).
+# Multi-host: launch one task per host with the same command and set
+# COORDINATOR=host0:1234 NUM_PROCESSES=$SLURM_NTASKS
+# PROCESS_ID=$SLURM_PROCID — rank 0 owns logs/checkpoints.
+DIST_FLAGS=()
+[[ "${DP:-1}" != 1 ]] && DIST_FLAGS+=(--dp "$DP")
+if [[ "${NUM_PROCESSES:-1}" != 1 ]]; then
+  DIST_FLAGS+=(--coordinator "$COORDINATOR" \
+               --num_processes "$NUM_PROCESSES" \
+               --process_id "${PROCESS_ID:-$SLURM_PROCID}")
+fi
+
+python train.py --preset unicycle "${DIST_FLAGS[@]}" \
     --gamma_b 50 --updates_per_step 2 --batch_size 128 \
     --start_steps 1000 --seed "${SEED:-12345}" \
     --output "${OUTPUT:-output}"

@@ -66,6 +66,46 @@ def test_train_writes_all_artifacts(tmp_path):
     assert np.all(cols["episode_steps"] <= 12)
 
 
+def test_train_dp_mode(tmp_path):
+    """--dp through the real training loop: train(cfg, dp=8) on the
+    8-device CPU mesh writes the same artifacts as dp=1, performs
+    updates, and (loud-failure) rejects flag misuse in main()."""
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "12", "--batch_size", "8",
+        "--start_steps", "4", "--hidden_size", "16", "--dp", "8",
+    ])
+    assert args.dp == 8
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out = str(tmp_path / "dprun")
+    train(cfg, output_dir=out, quiet=True, dp=8)
+    for f in ("progress.txt", "config.json", "actor.pkl",
+              "checkpoint.npz"):
+        assert os.path.exists(os.path.join(out, f)), f
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(os.path.join(out, "progress.txt"))
+    assert len(cols["Episode"]) == 2
+    assert cols["updates"][-1] > 0  # the dp-sharded update really ran
+    assert np.all(np.isfinite(cols["qf1_loss"]))
+
+    # loud failures: eval mode and multi-process flag validation
+    import pytest
+
+    from nlbac_tpu.train.cli import main
+    with pytest.raises(SystemExit, match="training flags"):
+        main(["--preset", "unicycle", "--mode", "eval", "--dp", "2",
+              "--output", out])
+    with pytest.raises(SystemExit, match="coordinator"):
+        main(["--preset", "unicycle", "--num_processes", "2"])
+
+
 def test_cli_mode_eval(tmp_path, capsys):
     """--mode eval: main() loads reference-layout weights from --output
     (then a run dir, not a parent) and prints per-episode rollouts —

@@ -153,3 +153,78 @@ def test_tp_sharded_mlp_matches_replicated():
     assert not sharded["w"][0].sharding.is_fully_replicated
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_dp_training_run_matches_single_device():
+    """The USER-FACING dp mode (make_dp_episode_runner / --dp): a
+    multi-episode dp-sharded TRAINING RUN — replay growth, supervisor,
+    lambda/rho transitions, NODE fits all inside the sharded program —
+    must reproduce the single-device run to f32 tolerance, and the
+    compiled program must contain real cross-device collectives."""
+    from nlbac_tpu.parallel import make_dp_episode_runner
+    from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+    cfg = tiny_cfg()
+    run1 = jax.jit(make_episode_runner(cfg))
+    place, run_dp = make_dp_episode_runner(cfg, 8)
+
+    ts1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl1, node1 = create_replays(cfg)
+    tsd, rld, noded = place((ts1, rl1, node1))
+    tot1 = jnp.int32(0)
+    totd = place(jnp.int32(0))
+    for ep in range(3):
+        k = jax.random.PRNGKey(ep + 100)
+        ts1, rl1, node1, m1, tot1 = run1(ts1, rl1, node1, k,
+                                         jnp.int32(ep), tot1)
+        tsd, rld, noded, md, totd = run_dp(tsd, rld, noded, k,
+                                           jnp.int32(ep), totd)
+        np.testing.assert_allclose(float(m1.reward), float(md.reward),
+                                   rtol=2e-4, atol=1e-4)
+        assert int(m1.updates_done) == int(md.updates_done)
+    assert int(tsd.updates) > 0  # updates actually ran under sharding
+    # the full TrainState (params, Adam moments, lambda/rho, counters)
+    # agrees after 3 episodes of compounding updates
+    for a, b in zip(jax.tree.leaves(ts1), jax.tree.leaves(tsd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=2e-3)
+    # and the replicated replays saw identical pushes
+    np.testing.assert_allclose(np.asarray(rl1.data), np.asarray(rld.data),
+                               atol=1e-5)
+    # GSPMD really partitioned the update: collectives in the program
+    from nlbac_tpu.parallel import make_mesh
+    hlo = run_dp.lower(tsd, rld, noded, jax.random.PRNGKey(0),
+                       jnp.int32(0), totd).compile().as_text()
+    assert "all-reduce" in hlo
+
+
+def test_dp_divisibility_validated():
+    from nlbac_tpu.parallel import make_dp_episode_runner
+
+    cfg = tiny_cfg()  # batch_size=8
+    with pytest.raises(ValueError, match="divisible"):
+        make_dp_episode_runner(cfg, 3)
+
+
+def test_async_seed_runner_dp_groups():
+    """--n_seeds x --dp composition: each seed trains dp-sharded on its
+    own disjoint device group; per-seed trajectories match the plain
+    single-device seed runs to f32 tolerance."""
+    from nlbac_tpu.parallel import make_async_seed_runner
+
+    cfg = tiny_cfg()
+    init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=2, dp=4)
+    states = init_fn(0)
+    assert len(states) == 2
+    for ep in range(2):
+        states, metrics = step_fn(states, ep)
+    # reference: the dp=1 async runner with the same base seed
+    init1, step1 = make_async_seed_runner(cfg, devices=jax.devices()[:2],
+                                          n_seeds=2)
+    s1 = init1(0)
+    for ep in range(2):
+        s1, m1 = step1(s1, ep)
+    for a, b in zip(metrics, m1):
+        np.testing.assert_allclose(float(a.reward), float(b.reward),
+                                   rtol=2e-4, atol=1e-4)
+        assert int(a.steps) == int(b.steps)
