@@ -65,6 +65,19 @@ class HostEnvAdapter:
                 np.bool_(done), np.bool_(info.get("goal_met", False)),
                 f(info.get("reached", 0.0)), f(viol), f(cost))
 
+    # -- direct host-side API (train/host_loop.py: no io_callback) ------
+
+    def host_reset(self) -> np.ndarray:
+        """Reset the wrapped env on host; returns the f32 obs."""
+        return self._host_reset(None)
+
+    def host_step(self, action: np.ndarray):
+        """Step the wrapped env on host; returns the marshalled 11-tuple
+        (obs, reward, constraint, lyap_t, lyap_t1, barrier, done,
+        goal_met, reached, violations, safety_cost) as numpy scalars/
+        arrays — the same values the io_callback path feeds StepOut."""
+        return self._host_step(action)
+
     # -- device-side API (matches the pure-JAX env modules) -------------
 
     def reset(self, key, max_episode_steps: int | None = None

@@ -40,13 +40,32 @@ class EpochLogger:
     ``progress.txt`` and prints an aligned table."""
 
     def __init__(self, output_dir: Optional[str] = None,
-                 output_fname: str = "progress.txt", quiet: bool = False):
+                 output_fname: str = "progress.txt", quiet: bool = False,
+                 backend: str = "auto"):
+        """``backend``: 'auto' uses the native C++ TSV writer
+        (runtime/host_buffer.cpp via nlbac_tpu.runtime_native) when its
+        shared library is available and falls back to the Python file
+        writer otherwise; 'python' forces the fallback; 'native' raises
+        if the library can't be built. Both write the same %.6g TSV
+        format (values pass through f32 in the native path — every
+        logged metric is f32-originated) and flush after every row
+        (live-tail semantics)."""
         self.output_dir = output_dir
         self.quiet = quiet
         self._file = None
+        self._native = None
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
-            self._file = open(os.path.join(output_dir, output_fname), "w")
+            path = os.path.join(output_dir, output_fname)
+            if backend in ("auto", "native"):
+                try:
+                    from nlbac_tpu.runtime_native import NativeTsvWriter
+                    self._native = NativeTsvWriter(path)
+                except Exception:
+                    if backend == "native":
+                        raise
+            if self._native is None:
+                self._file = open(path, "w")
         self._epoch_store: Dict[str, list] = {}
         self._row: Dict[str, float] = {}
         self._headers = None
@@ -86,7 +105,14 @@ class EpochLogger:
 
     def dump_tabular(self) -> None:
         keys = list(self._row.keys())
-        if self._file is not None:
+        if self._native is not None:
+            if self._headers is None:
+                self._headers = keys
+                self._native.header(keys)
+            self._native.row([self._row.get(k, float("nan"))
+                              for k in self._headers])
+            self._native.flush()
+        elif self._file is not None:
             if self._headers is None:
                 self._headers = keys
                 self._file.write("\t".join(keys) + "\n")
@@ -104,6 +130,8 @@ class EpochLogger:
         self._epoch_store = {}
 
     def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
         if self._file is not None:
             self._file.close()
 

@@ -68,3 +68,116 @@ def test_throughput_sane():
     dt = time.perf_counter() - t0
     assert dt < 2.0, dt
     assert buf.total == 50_000
+
+
+def test_epoch_logger_native_backend(tmp_path):
+    """The EpochLogger's native TSV backend (the product consumer of
+    NativeTsvWriter) writes the same rows as the Python backend and is
+    selected automatically when the library is available."""
+    import numpy as np
+
+    from nlbac_tpu.train.logging import EpochLogger
+
+    rows = [dict(Episode=i, reward_train=-61.0013 + i * 0.5,
+                 qf1_loss=1.55059, updates=54 + i) for i in range(5)]
+    outs = {}
+    for backend in ("native", "python"):
+        d = tmp_path / backend
+        lg = EpochLogger(str(d), backend=backend)
+        assert (lg._native is not None) == (backend == "native")
+        for r in rows:
+            lg.store(**r)
+            for k in r:
+                lg.log_tabular(k)
+            lg.dump_tabular()
+        lg.close()
+        outs[backend] = (d / "progress.txt").read_text()
+    assert outs["native"] == outs["python"]
+    # auto mode picks native when the lib is importable
+    lg = EpochLogger(str(tmp_path / "auto"))
+    assert lg._native is not None
+    lg.close()
+    # parses through the standard loader
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(str(tmp_path / "native" / "progress.txt"))
+    np.testing.assert_allclose(cols["updates"], [54, 55, 56, 57, 58])
+
+
+def test_host_loop_training_native_data_plane(tmp_path):
+    """End-to-end host-loop training (train/host_loop.py): host env
+    physics + NATIVE C++ replay rings + device updates. The product
+    consumer of HostReplay."""
+    import dataclasses
+
+    import numpy as np
+
+    from nlbac_tpu.config import (ConstraintConfig, EnvConfig, NodeConfig,
+                                  ReplayConfig, SupervisorConfig,
+                                  get_config)
+    from nlbac_tpu.envs.base import EnvSpec
+    from nlbac_tpu.envs.host_adapter import HostEnvAdapter
+    from nlbac_tpu.train.host_loop import train_host_env
+    from nlbac_tpu.train.logging import EpochLogger
+
+    class HostPointMass:
+        def __init__(self):
+            self.x = np.zeros(2, np.float32)
+            self.steps = 0
+
+        def reset(self):
+            self.x = np.zeros(2, np.float32)
+            self.steps = 0
+            return self.x.copy()
+
+        def step(self, a):
+            self.x[1] += 0.1 * float(a[0])
+            self.x[0] += 0.1 * self.x[1]
+            self.steps += 1
+            done = self.steps >= 8
+            barrier = -1.0 if abs(self.x[0]) > 0.5 else 0.0
+            lyap = self.x.copy()
+            info = {"num_safety_violation": int(barrier < 0),
+                    "safety_cost": max(0.0, abs(self.x[0]) - 0.5)}
+            return (self.x.copy(), -abs(self.x[0] - 0.3),
+                    abs(self.x[0] - 0.3), barrier, lyap, lyap, done, info)
+
+    spec = EnvSpec(name="identity", obs_dim=2, action_dim=1, state_dim=2,
+                   lyap_dim=2, dt=0.1, max_episode_steps=8,
+                   action_low=(-1.0,), action_high=(1.0,))
+    adapter = HostEnvAdapter(HostPointMass(), spec,
+                             has_barrier_signal=True)
+    cfg = get_config("nbc_unicycle")
+    cfg = dataclasses.replace(
+        cfg,
+        env=EnvConfig(name="identity", dt=0.1, max_episode_steps=8,
+                      barrier_signals=True),
+        sac=dataclasses.replace(cfg.sac, hidden_dim=8, batch_size=4,
+                                updates_per_step=1, start_steps=4),
+        node=NodeConfig(form="mlp", state_dim=2, action_dim=1,
+                        hidden_dim=8, mlp_hidden_layers=1, max_batch=8,
+                        update_interval=2),
+        constraint=dataclasses.replace(cfg.constraint, use_backup=False),
+        supervisor=SupervisorConfig(kind="none"),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+        obs_dim=2, action_dim=1, lyap_dim=2,
+    )
+    logger = EpochLogger(str(tmp_path), quiet=True)
+    ts, history = train_host_env(cfg, adapter, episodes=3, seed=0,
+                                 logger=logger)
+    logger.close()
+    assert len(history) == 3
+    assert history[-1]["updates"] > 0
+    assert all(np.isfinite(h["reward_train"]) for h in history)
+    assert np.isfinite(history[-1]["qf1_loss"])
+    # progress.txt written through the (native-backed) EpochLogger
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(str(tmp_path / "progress.txt"))
+    assert len(cols["Episode"]) == 3
+    # loud rejection of supervisor/backup configs
+    import pytest
+
+    bad = dataclasses.replace(
+        cfg, supervisor=SupervisorConfig(kind="trap"),
+        constraint=dataclasses.replace(cfg.constraint, use_backup=True))
+    with pytest.raises(ValueError, match="primary controller only"):
+        train_host_env(bad, adapter, episodes=1)
