@@ -38,7 +38,7 @@ import sys
 import time
 
 _T0 = time.perf_counter()
-SOFT_BUDGET_S = 480.0  # skip secondary presets past this point
+SOFT_BUDGET_S = 900.0  # skip remaining secondary presets past this point
 
 
 def _elapsed():
@@ -203,8 +203,14 @@ def main():
                  "programs are latency-bound on op count, so steps/sec "
                  "and the phase split are the meaningful metrics"),
     }
+    # every program family gets a throughput number (VERDICT r2 item 3):
+    # cars (non-affine NODE + time input), pvtol (3-step HOCBF chain),
+    # nbc_* (learned-barrier TD + target soft-update in the hot loop),
+    # quadrotor (curriculum reset + kill semantics + normalized NODE)
     for preset, steps in (() if fast else
-                          (("cars", 300), ("pvtol", 400))):
+                          (("cars", 300), ("pvtol", 400),
+                           ("nbc_unicycle", 400), ("nbc_pvtol", 400),
+                           ("quadrotor", 400))):
         if _elapsed() > SOFT_BUDGET_S:
             extra[f"{preset}_steps_per_sec"] = "skipped (time budget)"
             continue

@@ -48,7 +48,8 @@ class NodeConfig:
     # Deliberate parity deviation (PARITY.md "Deviations from the
     # reference"): the reference pushes NODE-buffer transition times one
     # dt LATE — t=step*dt / next_t=(step+1)*dt vs the RL buffer's
-    # (step-1)*dt / step*dt (CARS main.py:90-97; same in every variant)
+    # (step-1)*dt / step*dt (CARS main.py:90-97; UNI labels BOTH buffers
+    # late, main.py:97-104, but has no time-input consumer)
     # — which only perturbs the Cars time-input feature. We default to
     # the physically-consistent label shared with the RL buffer; set
     # True (--reference_time_labels) to reproduce the reference's

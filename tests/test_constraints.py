@@ -305,6 +305,58 @@ def test_metrics_sink_wandb_gracefully_degrades(capsys):
     sink.close()
 
 
+def test_metrics_sink_wandb_emission_path(monkeypatch):
+    """The LIVE wandb emission channel (VERDICT r2 item 5): a stub wandb
+    module injected via sys.modules receives init(project, config) and
+    one log() per episode with the reference-matching metric keys —
+    including the PVTOL per-constraint breakdowns
+    (PVTOL/main.py:218-231) — and finish() on close."""
+    import sys
+    import types
+
+    from nlbac_tpu.train.logging import MetricsSink
+
+    calls = {"init": [], "log": [], "finish": 0}
+
+    class _Run:
+        def log(self, metrics):
+            calls["log"].append(dict(metrics))
+
+        def finish(self):
+            calls["finish"] += 1
+
+    stub = types.ModuleType("wandb")
+    stub.init = lambda project=None, config=None: (
+        calls["init"].append((project, config)) or _Run())
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    sink = MetricsSink(None, use_wandb=True, wandb_project="nlbac-test",
+                       wandb_config={"env": {"name": "pvtol"}})
+    # the exact per-episode dict train/cli.py emits for PVTOL
+    wb = {
+        "Episode Reward": 1499.2, "Episode Length": 2000.0,
+        "Episode Safety Cost": 0.0,
+        "Episode Number of Safety Violations": 0.0,
+        "Cumulated Number of steps": 4000.0,
+        "Episode Number of Collisions with Obstacles": 0.0,
+        "Episode Number of Violations concerning Safety Operator": 0.0,
+        "Episode Number of Violations concerning ymin": 0.0,
+        "Episode Number of Violations concerning ymax": 0.0,
+        "Episode Safety Cost Concerning Obstacles": 0.0,
+        "Episode Safety Cost Concerning Safety Operator": 0.0,
+        "Episode Safety Cost Concerning ymin": 0.0,
+        "Episode Safety Cost Concerning ymax": 0.0,
+    }
+    sink.log(wb)
+    sink.log({"Episode Reward": 1500.0})
+    sink.close()
+
+    assert calls["init"] == [("nlbac-test", {"env": {"name": "pvtol"}})]
+    assert len(calls["log"]) == 2
+    assert calls["log"][0] == wb  # all 13 PVTOL keys reach the channel
+    assert calls["finish"] == 1
+
+
 def test_ratio_uses_cost_limit_shifted_means():
     """The balance ratio divides the cost_limit-SHIFTED means, while
     multiplier ascent uses the RAW means (UNI/sac_cbf_clf/sac_cbf_clf.py:
