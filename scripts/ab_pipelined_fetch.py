@@ -10,10 +10,13 @@ compute, because i-1's result buffers are already final.
 Variant "seq": the pre-r3 cli loop order — block on episode i, then
 fetch its metrics, then dispatch i+1.
 
-Both run the same 2-seed async runner on one chip, interleaved per
-episode so they sample the same tunnel-latency window. Total work is
-identical; only the fetch placement differs. Reports median wall per
-episode.
+Measurement design: the two variants ALTERNATE IN PHASES of 8 episodes
+(each owning the single device for its whole phase) rather than per
+episode — with a shared chip, interleaving a non-blocking variant with a
+blocking one mis-attributes the non-blocker's device time to the
+blocker's wall (measured: a naive per-episode interleave reported a
+bogus 7.5x). Phase alternation still samples the same tunnel-latency
+window at coarse grain.
 
 Run on the TPU from the repo root:
     python scripts/ab_pipelined_fetch.py [preset] [episodes]
@@ -36,43 +39,60 @@ def main():
     from nlbac_tpu.train.checkpoint import _to_host
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "unicycle"
-    episodes = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    episodes = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_seeds = 2
+    phase_len = 8
 
     cfg = get_config(preset)
     cfg = dataclasses.replace(
         cfg, env=dataclasses.replace(cfg.env, max_episode_steps=400),
         sac=dataclasses.replace(cfg.sac, start_steps=200))
 
-    states, steps = {}, {}
-    for tag, base_seed in (("seq", 0), ("pipe", 1000)):
+    states, steps, ep_ctr = {}, {}, {}
+    # SAME base seed for both variants: the per-seed key streams (hence
+    # trajectories and episode lengths) are identical, so the comparison
+    # isolates the loop structure — different seeds would confound it
+    # with episode-length variance (early goal termination).
+    for tag in ("seq", "pipe"):
         init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=n_seeds)
-        states[tag] = init_fn(base_seed)
+        states[tag] = init_fn(0)
         steps[tag] = step_fn
+        ep_ctr[tag] = 0
 
     # warmup/compile both
     for tag in ("seq", "pipe"):
         states[tag], m = steps[tag](states[tag], 0)
         _to_host(m)
+        ep_ctr[tag] = 1
 
     walls = {"seq": [], "pipe": []}
     pending = None
-    for ep in range(1, episodes):
-        t0 = time.perf_counter()
-        states["seq"], m = steps["seq"](states["seq"], ep)  # blocks
-        _to_host(m)
-        walls["seq"].append(time.perf_counter() - t0)
-
-        t0 = time.perf_counter()
-        states["pipe"], m2 = steps["pipe"](states["pipe"], ep,
-                                           block=False)
-        if pending is not None:
-            _to_host(pending)  # overlaps episode ep's device compute
-        pending = m2
-        walls["pipe"].append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    _to_host(pending)  # drain: charge the final fetch to pipe
-    walls["pipe"][-1] += time.perf_counter() - t0
+    n_phases = max(2, episodes // phase_len)
+    for phase in range(n_phases):
+        tag = ("seq", "pipe")[phase % 2]
+        if tag == "seq":
+            for _ in range(phase_len):
+                t0 = time.perf_counter()
+                states["seq"], m = steps["seq"](states["seq"],
+                                                ep_ctr["seq"])  # blocks
+                _to_host(m)
+                walls["seq"].append(time.perf_counter() - t0)
+                ep_ctr["seq"] += 1
+        else:
+            for _ in range(phase_len):
+                t0 = time.perf_counter()
+                states["pipe"], m2 = steps["pipe"](states["pipe"],
+                                                   ep_ctr["pipe"],
+                                                   block=False)
+                if pending is not None:
+                    _to_host(pending)  # overlaps this episode's compute
+                pending = m2
+                walls["pipe"].append(time.perf_counter() - t0)
+                ep_ctr["pipe"] += 1
+            t0 = time.perf_counter()
+            _to_host(pending)  # drain before handing the device back
+            pending = None
+            walls["pipe"][-1] += time.perf_counter() - t0
 
     for tag in ("seq", "pipe"):
         med = statistics.median(walls[tag])

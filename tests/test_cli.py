@@ -66,6 +66,45 @@ def test_train_writes_all_artifacts(tmp_path):
     assert np.all(cols["episode_steps"] <= 12)
 
 
+def test_multi_seed_pipelined_matches_sequential(tmp_path):
+    """The pipelined --n_seeds loop (dispatch episode i, then fetch and
+    process episode i-1 — measured 1.48x on TPU) writes the SAME
+    progress.txt rows as the fully sequential order (--save_best forces
+    sequential), and cadence weight saves still snapshot post-cadence
+    states."""
+    from nlbac_tpu.train.cli import train_multi_seed
+
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "4",
+        "--max_episode_steps", "10", "--batch_size", "4",
+        "--start_steps", "4", "--hidden_size", "16", "--seed", "21",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    outs = {}
+    for mode in ("pipelined", "sequential"):
+        cfg_m = cfg if mode == "pipelined" else dataclasses.replace(
+            cfg, run=dataclasses.replace(cfg.run,
+                                         save_best_metric="reward",
+                                         save_best_window=2))
+        out = str(tmp_path / mode)
+        train_multi_seed(cfg_m, n_seeds=2, output_root=out, quiet=True)
+        outs[mode] = {
+            s: open(os.path.join(out, f"s{s}", "progress.txt")).read()
+            for s in (21, 22)}
+    assert outs["pipelined"] == outs["sequential"]
+    # cadence weight files exist in the pipelined run
+    for s in (21, 22):
+        assert os.path.exists(
+            os.path.join(tmp_path, "pipelined", f"s{s}", "actor.pkl"))
+
+
 def test_train_dp_mode(tmp_path):
     """--dp through the real training loop: train(cfg, dp=8) on the
     8-device CPU mesh writes the same artifacts as dp=1, performs
