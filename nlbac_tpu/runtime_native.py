@@ -62,7 +62,8 @@ def _load() -> ctypes.CDLL:
     lib.tsv_create.argtypes = [ctypes.c_char_p]
     lib.tsv_destroy.argtypes = [ctypes.c_void_p]
     lib.tsv_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-    lib.tsv_row.argtypes = [ctypes.c_void_p, fp, i64]
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.tsv_row.argtypes = [ctypes.c_void_p, dp, i64]
     lib.tsv_flush.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -129,7 +130,11 @@ class NativeTsvWriter:
     def __init__(self, path: str):
         self._lib = _load()
         self._h = self._lib.tsv_create(path.encode())
-        self._buf = np.empty((0,), np.float32)  # reused row scratch
+        # float64 scratch: the byte-identical contract with the Python
+        # f-string backend requires %.6g to format the SAME double the
+        # Python path sees (an f32 round-trip can cross a 6th-digit
+        # rounding boundary, e.g. large episode counters > 2^24)
+        self._buf = np.empty((0,), np.float64)  # reused row scratch
 
     def header(self, columns) -> None:
         self._lib.tsv_header(self._h, "\t".join(columns).encode())
@@ -139,12 +144,14 @@ class NativeTsvWriter:
             # hot path (EpochLogger dump): fill the reused scratch row
             # instead of allocating a fresh array per call
             if self._buf.size != len(values):
-                self._buf = np.empty((len(values),), np.float32)
+                self._buf = np.empty((len(values),), np.float64)
             self._buf[:] = values
             vals = self._buf
         else:
-            vals = np.ascontiguousarray(values, np.float32)
-        self._lib.tsv_row(self._h, _as_float_ptr(vals), vals.size)
+            vals = np.ascontiguousarray(values, np.float64)
+        self._lib.tsv_row(
+            self._h, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            vals.size)
 
     def flush(self) -> None:
         self._lib.tsv_flush(self._h)

@@ -329,11 +329,16 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
     logger_dir = output_dir
     logger = EpochLogger(logger_dir, quiet=quiet)
     logger.save_config(cfg)
-    sink = MetricsSink(logger, use_wandb=cfg.run.log_wandb,
+    # external sinks are rank-0-only (output_dir is None on other ranks):
+    # every rank opening wandb.init would create num_processes duplicate
+    # runs for one job, and the tensorboard dir needs the run dir anyway
+    from nlbac_tpu.parallel import is_rank0
+    emit = is_rank0() and output_dir is not None
+    sink = MetricsSink(logger, use_wandb=cfg.run.log_wandb and emit,
                        wandb_project=cfg.run.wandb_project,
                        wandb_config=cfg.to_dict(),
                        tensorboard_dir=(os.path.join(output_dir, "tb")
-                                        if cfg.run.log_tensorboard
+                                        if cfg.run.log_tensorboard and emit
                                         else None))
     timer = StepTimer()
 
@@ -719,20 +724,19 @@ def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    # multi-host init FIRST: jax.distributed.initialize must run before
-    # any backend use so every process sees the global device set
+    # Arg-only cross-flag validation runs BEFORE jax.distributed
+    # initialization: init_distributed blocks until every process joins,
+    # so an invalid combination must fail loudly here, not hang the gang.
     if args.num_processes > 1:
         if not args.coordinator or args.process_id is None:
             raise SystemExit("--num_processes > 1 requires --coordinator "
                              "host:port and --process_id")
-        from nlbac_tpu.parallel import init_distributed
-        init_distributed(args.coordinator, args.num_processes,
-                         args.process_id)
-    cfg = config_from_args(args)
-    enable_compilation_cache()
+        if args.n_seeds > 1:
+            raise SystemExit(
+                "--n_seeds x --num_processes is not supported: the async "
+                "seed runner lays seeds over this process's local "
+                "devices; launch one seed per process instead")
     if args.mode == "eval":
-        # evaluate reference-layout weights from --output (which then
-        # points at a run directory, not a parent folder)
         # Loud failure beats silent loss (same rule as the n_seeds>1
         # branch): these flags have no eval-mode meaning, and silently
         # ignoring e.g. --n_seeds would pass one seed's rollouts off as
@@ -749,6 +753,17 @@ def main(argv=None):
         if args.dp > 1 or args.num_processes > 1:
             raise SystemExit("--dp/--num_processes are training flags; "
                              "they have no effect with --mode eval")
+    # multi-host init next: jax.distributed.initialize must run before
+    # any backend use so every process sees the global device set
+    if args.num_processes > 1:
+        from nlbac_tpu.parallel import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+    cfg = config_from_args(args)
+    enable_compilation_cache()
+    if args.mode == "eval":
+        # evaluate reference-layout weights from --output (which then
+        # points at a run directory, not a parent folder)
         from nlbac_tpu.agent import create_train_state
         from nlbac_tpu.train.checkpoint import load_model_weights
         from nlbac_tpu.utils.evaluate import run_policy

@@ -59,12 +59,8 @@ class HostRings:
         return np.concatenate(parts)
 
     def unpack(self, rows: np.ndarray) -> dict:
-        out = {}
-        for name, off, w in self.layout:
-            col = rows[..., off:off + w]
-            out[name] = (col[..., 0]
-                         if name in replay_lib.SCALAR_FIELDS else col)
-        return out
+        # pure indexing — works on host numpy rows and device arrays alike
+        return replay_lib.unpack_rows(self.layout, rows)
 
 
 def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
@@ -107,7 +103,10 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
     total_steps = 0
     history: List[dict] = []
     for i_episode in range(episodes):
-        obs = np.asarray(adapter.host_reset())
+        # copy=True: a gym-style env may return (and later mutate in
+        # place) its internal state buffer; stored transitions must not
+        # alias it or rec["obs"] silently becomes rec["next_obs"]
+        obs = np.array(adapter.host_reset(), np.float32)
         ep_reward = ep_viol = ep_cost = 0.0
         ep_steps = 0
         goal_met = False
@@ -119,7 +118,13 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
                 for _ in range(scfg.updates_per_step):
                     key, kupd = jax.random.split(key)
                     batch = rings.unpack(rings.rl.sample(scfg.batch_size))
-                    if updates % ncfg.update_interval == 0:
+                    # mirror the device gate exactly (update.py do_node:
+                    # interval AND episode limit) so the off-cycle zero
+                    # batch provably feeds a dead lax.cond branch
+                    node_due = (updates % ncfg.update_interval == 0
+                                and (ncfg.fit_episode_limit is None
+                                     or i_episode <= ncfg.fit_episode_limit))
+                    if node_due:
                         node_batch = rings.unpack(
                             rings.node.sample(ncfg.max_batch))
                     else:  # dead lax.cond branch — skip sample + H2D
@@ -163,16 +168,19 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             ep_viol += float(viol)
             ep_cost += float(cost)
             goal_met = goal_met or bool(gm)
-            obs = next_obs
+            obs = np.array(next_obs, np.float32)  # de-alias (see reset)
 
         row = {"Episode": i_episode, "episode_steps": ep_steps,
                "reward_train": ep_reward, "cost_train": ep_viol,
                "safety_cost_train": ep_cost, "goal_met": float(goal_met),
                "updates": updates}
+        # always emit the full loss column set (0.0 before the first
+        # update, matching the device driver's _zero_train_metrics) —
+        # EpochLogger freezes headers on the first dump_tabular, so a
+        # short warm-up episode 0 must not drop the loss columns forever
         for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
                   "node_loss"):
-            if last_train:
-                row[k] = float(last_train[k])
+            row[k] = float(last_train[k]) if last_train else 0.0
         history.append(row)
         if logger is not None:
             logger.store(**row)

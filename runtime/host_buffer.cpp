@@ -101,7 +101,11 @@ struct TsvWriter {
       std::fclose(f);
     }
   }
-  void row(const float* vals, int64_t n) {
+  // doubles, not floats: the Python backend formats host float64
+  // metrics directly with %.6g, and the byte-identical contract
+  // requires formatting the SAME double here (an f32 round-trip can
+  // land on the other side of the 6th-significant-digit boundary).
+  void row(const double* vals, int64_t n) {
     char tmp[32];
     for (int64_t i = 0; i < n; ++i) {
       int len = std::snprintf(tmp, sizeof(tmp), "%.6g", vals[i]);
@@ -149,7 +153,7 @@ void tsv_destroy(void* w) { delete static_cast<TsvWriter*>(w); }
 void tsv_header(void* w, const char* line) {
   static_cast<TsvWriter*>(w)->header(line);
 }
-void tsv_row(void* w, const float* vals, int64_t n) {
+void tsv_row(void* w, const double* vals, int64_t n) {
   static_cast<TsvWriter*>(w)->row(vals, n);
 }
 void tsv_flush(void* w) { static_cast<TsvWriter*>(w)->flush(); }

@@ -145,6 +145,32 @@ def test_train_dp_mode(tmp_path):
         main(["--preset", "unicycle", "--num_processes", "2"])
 
 
+def test_multihost_flag_validation_precedes_init(monkeypatch, tmp_path):
+    """Invalid multi-host flag combinations must fail loudly BEFORE
+    jax.distributed.initialize — init blocks until every process joins,
+    so validating after it would hang the whole gang instead of exiting.
+    Also pins the --n_seeds x --num_processes rejection (the async seed
+    runner lays seeds over local devices; multi-host composition is
+    unsupported and must not crash opaquely downstream)."""
+    import pytest
+
+    import nlbac_tpu.parallel as par
+    from nlbac_tpu.train.cli import main
+
+    def boom(*a, **k):
+        raise AssertionError("init_distributed called before validation")
+
+    monkeypatch.setattr(par, "init_distributed", boom)
+    with pytest.raises(SystemExit, match="training flags"):
+        main(["--preset", "unicycle", "--mode", "eval",
+              "--num_processes", "2", "--coordinator", "h:1",
+              "--process_id", "0", "--output", str(tmp_path)])
+    with pytest.raises(SystemExit, match="one seed per process"):
+        main(["--preset", "unicycle", "--n_seeds", "2",
+              "--num_processes", "2", "--coordinator", "h:1",
+              "--process_id", "0"])
+
+
 def test_cli_mode_eval(tmp_path, capsys):
     """--mode eval: main() loads reference-layout weights from --output
     (then a run dir, not a parent) and prints per-episode rollouts —

@@ -80,6 +80,13 @@ def test_epoch_logger_native_backend(tmp_path):
 
     rows = [dict(Episode=i, reward_train=-61.0013 + i * 0.5,
                  qf1_loss=1.55059, updates=54 + i) for i in range(5)]
+    # f32-dirty doubles: these sit within f32-epsilon of a 6th-
+    # significant-digit %.6g rounding boundary, so an f32 round-trip in
+    # the native path would print a DIFFERENT row than the Python
+    # f-string backend (59974.8 vs 59974.9) — regression for the
+    # float64-end-to-end TSV channel
+    rows.append(dict(Episode=5, reward_train=59974.849999999999,
+                     qf1_loss=7117.204999999999, updates=59))
     outs = {}
     for backend in ("native", "python"):
         d = tmp_path / backend
@@ -100,7 +107,7 @@ def test_epoch_logger_native_backend(tmp_path):
     # parses through the standard loader
     from nlbac_tpu.utils.plot import load_progress
     cols = load_progress(str(tmp_path / "native" / "progress.txt"))
-    np.testing.assert_allclose(cols["updates"], [54, 55, 56, 57, 58])
+    np.testing.assert_allclose(cols["updates"], [54, 55, 56, 57, 58, 59])
 
 
 def test_host_loop_training_native_data_plane(tmp_path):
@@ -181,3 +188,131 @@ def test_host_loop_training_native_data_plane(tmp_path):
         constraint=dataclasses.replace(cfg.constraint, use_backup=True))
     with pytest.raises(ValueError, match="primary controller only"):
         train_host_env(bad, adapter, episodes=1)
+
+
+def _host_loop_cfg_and_adapter(max_steps=8, batch_size=4, start_steps=4,
+                               update_interval=2, fit_episode_limit=None,
+                               env_cls=None):
+    """Shared tiny host-loop fixture (the point-mass from the e2e test)."""
+    import dataclasses
+
+    from nlbac_tpu.config import (EnvConfig, NodeConfig, ReplayConfig,
+                                  SupervisorConfig, get_config)
+    from nlbac_tpu.envs.base import EnvSpec
+    from nlbac_tpu.envs.host_adapter import HostEnvAdapter
+
+    class HostPointMass:
+        def __init__(self):
+            self.x = np.zeros(2, np.float32)
+            self.steps = 0
+
+        def reset(self):
+            self.x = np.zeros(2, np.float32)
+            self.steps = 0
+            return self.x.copy()
+
+        def step(self, a):
+            self.x[1] += 0.1 * float(a[0])
+            self.x[0] += 0.1 * self.x[1]
+            self.steps += 1
+            done = self.steps >= max_steps
+            barrier = -1.0 if abs(self.x[0]) > 0.5 else 0.0
+            lyap = self.x.copy()
+            info = {"num_safety_violation": int(barrier < 0),
+                    "safety_cost": max(0.0, abs(self.x[0]) - 0.5)}
+            return (self.x.copy(), -abs(self.x[0] - 0.3),
+                    abs(self.x[0] - 0.3), barrier, lyap, lyap, done, info)
+
+    spec = EnvSpec(name="identity", obs_dim=2, action_dim=1, state_dim=2,
+                   lyap_dim=2, dt=0.1, max_episode_steps=max_steps,
+                   action_low=(-1.0,), action_high=(1.0,))
+    adapter = HostEnvAdapter((env_cls or HostPointMass)(), spec,
+                             has_barrier_signal=True)
+    cfg = get_config("nbc_unicycle")
+    cfg = dataclasses.replace(
+        cfg,
+        env=EnvConfig(name="identity", dt=0.1,
+                      max_episode_steps=max_steps, barrier_signals=True),
+        sac=dataclasses.replace(cfg.sac, hidden_dim=8,
+                                batch_size=batch_size, updates_per_step=1,
+                                start_steps=start_steps),
+        node=NodeConfig(form="mlp", state_dim=2, action_dim=1,
+                        hidden_dim=8, mlp_hidden_layers=1, max_batch=8,
+                        update_interval=update_interval,
+                        fit_episode_limit=fit_episode_limit),
+        constraint=dataclasses.replace(cfg.constraint, use_backup=False),
+        supervisor=SupervisorConfig(kind="none"),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+        obs_dim=2, action_dim=1, lyap_dim=2,
+    )
+    return cfg, adapter
+
+
+def test_host_loop_headers_survive_warmup_episode(tmp_path):
+    """EpochLogger freezes progress.txt headers on the first
+    dump_tabular; an episode 0 that ends before the replay exceeds
+    batch_size must still emit the loss columns (zeros, matching the
+    device driver's _zero_train_metrics) or every later loss value is
+    silently dropped from progress.txt."""
+    from nlbac_tpu.train.host_loop import train_host_env
+    from nlbac_tpu.train.logging import EpochLogger
+    from nlbac_tpu.utils.plot import load_progress
+
+    # batch_size 16 > 8 steps: episode 0 finishes with zero updates
+    cfg, adapter = _host_loop_cfg_and_adapter(max_steps=8, batch_size=16,
+                                              start_steps=4)
+    logger = EpochLogger(str(tmp_path), quiet=True)
+    ts, history = train_host_env(cfg, adapter, episodes=4, seed=0,
+                                 logger=logger)
+    logger.close()
+    assert history[0]["updates"] == 0  # the warm-up premise holds
+    assert history[-1]["updates"] > 0
+    cols = load_progress(str(tmp_path / "progress.txt"))
+    assert "qf1_loss" in cols and "node_loss" in cols
+    assert cols["qf1_loss"][0] == 0.0  # zero before the first update
+    assert np.isfinite(cols["qf1_loss"][-1]) and cols["qf1_loss"][-1] != 0
+
+
+def test_host_loop_node_gate_respects_fit_episode_limit():
+    """The host-side NODE-batch materialization must mirror the DEVICE
+    gate exactly (updates % interval AND episode <= fit_episode_limit) —
+    past the limit the 32768-row sample + H2D transfer feeds a provably
+    dead lax.cond branch and must be skipped."""
+    from nlbac_tpu.train import host_loop as hl
+
+    samples_per_ring = {}
+    real_replay = rn.HostReplay
+
+    class CountingReplay(real_replay):
+        def sample(self, n, max_index=0):
+            samples_per_ring[id(self)] = samples_per_ring.get(
+                id(self), 0) + 1
+            return super().sample(n, max_index)
+
+    cfg, adapter = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
+                                              start_steps=0,
+                                              update_interval=1,
+                                              fit_episode_limit=0)
+    orig = rn.HostReplay
+    rn.HostReplay = CountingReplay
+    try:
+        # capture the node ring by instrumenting HostRings construction
+        rings_box = {}
+        orig_rings = hl.HostRings
+
+        class SpyRings(orig_rings):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                rings_box["node"] = self.node
+
+        hl.HostRings = SpyRings
+        try:
+            hl.train_host_env(cfg, adapter, episodes=3, seed=0)
+        finally:
+            hl.HostRings = orig_rings
+    finally:
+        rn.HostReplay = orig
+    node_samples = samples_per_ring.get(id(rings_box["node"]), 0)
+    # interval=1 + limit=0: node batches are due ONLY during episode 0
+    # (4 post-warm-up update steps there); episodes 1-2 must sample none
+    assert 0 < node_samples <= 8, node_samples
