@@ -6,7 +6,9 @@ from nlbac_tpu.parallel.mesh import (  # noqa: F401
     make_dp_update,
     make_mesh,
     make_seed_parallel_runner,
+    make_tp_episode_runner,
     proc_id,
     shard_params_tp,
+    shard_state_tp,
     statistics_scalar,
 )

@@ -16,6 +16,13 @@ Two first-class modes, composable:
   single-device run to f32 tolerance (dryrun_multichip step 5).
 - ``--n_seeds X --dp Y`` composes them: each seed trains dp-sharded on
   its own disjoint group of Y devices (``make_async_seed_runner(dp=)``).
+- **Tensor-parallel** (CLI ``--tp``): every network's params — and,
+  mirroring their tree structure, the targets and Adam moments — are
+  Megatron-sharded over a 'tp' axis (:func:`make_tp_episode_runner`);
+  GSPMD inserts the row-parallel all-reduces.  Composes with dp on a
+  ('dp', 'tp') mesh.  A throughput loss at the reference's widths
+  (documented in the CLI help); the mode exists so grown models shard
+  without code changes, numerics certified == single-device.
 
 Host-side multi-process init (``jax.distributed.initialize``) is wrapped
 by :func:`init_distributed` and invoked by the CLI's
@@ -326,6 +333,85 @@ def make_dp_update(cfg: NLBACConfig, mesh: Mesh, dp_axis: str = "dp"):
                                        i_episode)
 
     return place, dp_update
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel TRAINING (the user-invocable --tp mode)
+# ---------------------------------------------------------------------------
+
+def make_tp_episode_runner(cfg: NLBACConfig, tp: int, dp: int = 1,
+                           devices=None):
+    """Build the FULL episode program tensor-parallel over ``tp`` devices
+    (optionally composed with data-parallelism on a ('dp', 'tp') mesh):
+    every network's parameters — and, mirroring their tree structure
+    exactly, the target networks and Adam moments — are Megatron-sharded
+    over the 'tp' axis by :func:`shard_state_tp`, while env stepping /
+    replay / supervisor state stays replicated.  The episode program
+    itself is UNCHANGED; GSPMD propagates the parameter layouts through
+    the while_loop-carried state and inserts the all-reduces (row-parallel
+    partial sums) over ICI.
+
+    At the reference's widths (hidden <= 256) this is a throughput LOSS on
+    real hardware — the mode exists so grown models shard without code
+    changes, and its numerics are certified == single-device (f32
+    tolerance) in tests/test_parallel.py and dryrun_multichip.
+
+    ``dp > 1`` adds batch sharding over the 'dp' axis of the same mesh
+    (the Megatron DP x TP layout): batches shard over 'dp' and replicate
+    over 'tp'; params shard over 'tp' and replicate over 'dp'.
+
+    Returns ``(place, run_fn)`` with the same contract as
+    :func:`make_dp_episode_runner`."""
+    from nlbac_tpu.train.driver import make_episode_runner
+
+    if dp > 1:
+        for name, val in (("sac.batch_size", cfg.sac.batch_size),
+                          ("node.max_batch", cfg.node.max_batch)):
+            if val % dp != 0:
+                raise ValueError(
+                    f"--dp {dp} requires cfg.{name} ({val}) to be "
+                    f"divisible by the dp width (uneven shards would "
+                    f"change the batch-mean normalization)")
+    mesh = make_mesh((dp, tp), ("dp", "tp"), devices=devices)
+    replicated = NamedSharding(mesh, P())
+
+    def place(tree):
+        """TP-shard the TrainState (tree[0]); replicate everything else."""
+        ts, rest = tree[0], tree[1:]
+        placed = (shard_state_tp(ts, mesh),) + tuple(
+            jax.device_put(x, replicated) for x in rest)
+        return placed if rest else placed[0]
+
+    run_fn = jax.jit(make_episode_runner(
+        cfg, dp_mesh=mesh if dp > 1 else None))
+    return place, run_fn
+
+
+def shard_state_tp(tree, mesh: Mesh, tp_axis: str = "tp"):
+    """Recursively apply :func:`shard_params_tp` to every MLP parameter
+    dict (``{"w", "b"}``) found in a pytree; every other leaf is
+    replicated over the mesh.
+
+    Target networks and Adam moments mirror their parameter trees
+    exactly, so the deterministic column/row alternation lands IDENTICAL
+    layouts on params, targets, and optimizer state — the elementwise
+    optimizer update then runs fully sharded with no resharding."""
+    replicated = NamedSharding(mesh, P())
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node) == {"w", "b"}:
+                return shard_params_tp(node, mesh, tp_axis)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            vals = [walk(v) for v in node]
+            return (type(node)(*vals) if hasattr(node, "_fields")
+                    else tuple(vals))
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return jax.device_put(node, replicated)
+
+    return walk(tree)
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "each seed trains dp-sharded on its own disjoint "
                         "group of dp devices. Requires batch_size and "
                         "the NODE max_batch divisible by the width")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: Megatron-shard every "
+                        "network's params (and their targets and Adam "
+                        "moments) over a 'tp' mesh axis inside the fused "
+                        "episode program (GSPMD inserts the all-reduces; "
+                        "numerics == single-device to f32 tolerance — "
+                        "certified in dryrun_multichip). Composes with "
+                        "--dp on a ('dp','tp') mesh. A throughput LOSS at "
+                        "the reference's widths (hidden <= 256) — the "
+                        "mode exists so grown models shard without code "
+                        "changes")
     # multi-host launch (jax.distributed): one process per host, same
     # command everywhere apart from --process_id. The successor to the
     # reference's vendored-but-dead mpi_fork (UNI/utils/mpi_tools.py).
@@ -318,14 +329,16 @@ def enable_compilation_cache(path: str = "/tmp/jax_cache_nlbac") -> None:
 def train(cfg: NLBACConfig, output_dir: str | None = None,
           quiet: bool = False, checkpoint_path: str | None = None,
           profile_dir: str | None = None, resume_path: str | None = None,
-          dp: int = 1):
+          dp: int = 1, tp: int = 1):
     """The training loop (UNI/main.py train() equivalent).
 
     ``dp > 1`` runs the SAME loop with the episode program's update
     batches sharded over a ('dp',) mesh of ``dp`` devices (state
     replicated; GSPMD inserts the gradient psums) — numerics reproduce
     the dp=1 run to f32 tolerance (certified in dryrun_multichip and
-    tests/test_parallel.py)."""
+    tests/test_parallel.py).  ``tp > 1`` Megatron-shards every network's
+    params/targets/Adam moments over a 'tp' axis instead (or additionally
+    — ('dp','tp') mesh), same numerics certificate."""
     logger_dir = output_dir
     logger = EpochLogger(logger_dir, quiet=quiet)
     logger.save_config(cfg)
@@ -361,7 +374,15 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
         # buffers in place, but buffer donation trips the axon TPU runtime
         # (InvalidArgument at execution); the copies cost ~0.1ms/episode,
         # so run un-donated.
-        if dp > 1:
+        if tp > 1:
+            # tp (or dp x tp) mode: params sharded over 'tp', batches
+            # over 'dp' (when dp > 1). Plain jit, same AOT-cache caveat
+            # as dp below.
+            from nlbac_tpu.parallel import make_tp_episode_runner
+            place, run_episode = make_tp_episode_runner(cfg, tp, dp=dp)
+            ts, rl_replay, node_replay = place((ts, rl_replay,
+                                                node_replay))
+        elif dp > 1:
             # dp mode: plain jit (a jax.export'd module pins the device
             # assignment, so the AOT lowering cache stays dp=1-only; the
             # persistent XLA compilation cache still covers the
@@ -736,6 +757,13 @@ def main(argv=None):
                 "--n_seeds x --num_processes is not supported: the async "
                 "seed runner lays seeds over this process's local "
                 "devices; launch one seed per process instead")
+    if args.dp < 1 or args.tp < 1:
+        raise SystemExit("--dp/--tp must be >= 1")
+    if args.tp > 1 and args.n_seeds > 1:
+        raise SystemExit(
+            "--n_seeds x --tp is not supported: tensor-parallel training "
+            "is a single-seed mode (compose --n_seeds with --dp instead, "
+            "or launch one tp run per seed)")
     if args.mode == "eval":
         # Loud failure beats silent loss (same rule as the n_seeds>1
         # branch): these flags have no eval-mode meaning, and silently
@@ -750,9 +778,9 @@ def main(argv=None):
             raise SystemExit(
                 "--n_seeds has no effect with --mode eval — evaluate "
                 "each s<seed>/ run dir separately")
-        if args.dp > 1 or args.num_processes > 1:
-            raise SystemExit("--dp/--num_processes are training flags; "
-                             "they have no effect with --mode eval")
+        if args.dp > 1 or args.tp > 1 or args.num_processes > 1:
+            raise SystemExit("--dp/--tp/--num_processes are training "
+                             "flags; they have no effect with --mode eval")
     # multi-host init next: jax.distributed.initialize must run before
     # any backend use so every process sees the global device set
     if args.num_processes > 1:
@@ -773,8 +801,9 @@ def main(argv=None):
                                     cfg.constraint.kind))
         run_policy(cfg, ts, episodes=5, seed=cfg.run.seed)
         return
-    if args.dp > 1 and jax.device_count() < args.dp:
-        raise SystemExit(f"--dp {args.dp} needs {args.dp} devices; this "
+    if args.dp * args.tp > 1 and jax.device_count() < args.dp * args.tp:
+        raise SystemExit(f"--dp {args.dp} x --tp {args.tp} needs "
+                         f"{args.dp * args.tp} devices; this "
                          f"process sees {jax.device_count()} "
                          f"({jax.default_backend()})")
     # rank-0 gating (multi-host --dp): every process runs the same
@@ -816,6 +845,7 @@ def main(argv=None):
     print(colorize(f"NLBAC-TPU preset={args.preset} env={cfg.env.name} "
                    f"backend={jax.default_backend()}"
                    + (f" dp={args.dp}" if args.dp > 1 else "")
+                   + (f" tp={args.tp}" if args.tp > 1 else "")
                    + (f" rank={jax.process_index()}/{args.num_processes}"
                       if args.num_processes > 1 else "")
                    + f" -> {out}", "green", bold=True))
@@ -823,7 +853,7 @@ def main(argv=None):
           quiet=args.quiet or not rank0,
           checkpoint_path=args.checkpoint if rank0 else None,
           profile_dir=args.profile_dir, resume_path=args.resume,
-          dp=args.dp)
+          dp=args.dp, tp=args.tp)
 
 
 if __name__ == "__main__":

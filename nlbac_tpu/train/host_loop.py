@@ -14,8 +14,11 @@ anyway.  The replay rings live in the NATIVE C++ host data plane
 - samples are native xorshift gathers straight into a caller buffer
   that ships to the device as ONE ``jax.device_put`` per update.
 
-Device work is exactly two jitted calls per env step: action selection
-and (buffer-gated) ``agent.update_from_batch``.  The NODE batch is only
+Device work is two jitted calls per env step — action selection (fused
+with the supervisor's pre-action transition) and (buffer-gated)
+``agent.update_from_batch`` — plus, for supervised presets, one more for
+the post-step trigger machine (the SAME pure state machine the fused
+device program runs, train/supervisor.py).  The NODE batch is only
 materialized (sampled + H2D-transferred) on the updates where the
 interval-gated fit actually runs — off-cycle updates feed a cached
 device-resident zero batch into the ``lax.cond``'s dead branch (the
@@ -38,6 +41,7 @@ import numpy as np
 from nlbac_tpu import replay as replay_lib
 from nlbac_tpu.agent import create_train_state, make_agent
 from nlbac_tpu.config import NLBACConfig
+from nlbac_tpu.envs.base import StepOut
 
 
 class HostRings:
@@ -69,17 +73,20 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
     """Train against a :class:`HostEnvAdapter` with the native host data
     plane.  Returns ``(ts, per_episode_metrics)``.
 
-    v1 trains the primary controller only: backup-controller supervision
-    is a device-program feature (``make_episode_runner(env_override=...)``
-    runs host envs under the full supervisor machinery via io_callback);
-    configs with ``use_backup``/a supervisor are rejected loudly."""
-    if cfg.constraint.use_backup or cfg.supervisor.kind != "none":
+    Backup-controller supervision runs the SAME pure state machines as
+    the fused device program (train/supervisor.py — trap / cars_gap /
+    pvtol), called per step as two small jitted functions; while the
+    backup controller is active, transitions skip the RL ring but always
+    reach the NODE ring, and the backup policy trains inside
+    ``update_from_batch`` exactly as on-device (the reference's host-loop
+    semantics, UNI/main.py:77-104)."""
+    if cfg.supervisor.kind != "none" and not cfg.constraint.use_backup:
+        # Same loud failure as the device driver: the supervisor would
+        # engage a backup controller that is never trained or sampled.
         raise ValueError(
-            "host-loop mode trains the primary controller only "
-            f"(use_backup={cfg.constraint.use_backup}, supervisor="
-            f"{cfg.supervisor.kind!r}); for backup/supervisor workloads "
-            "run the fused device program with env_override=adapter "
-            "(train/driver.py)")
+            f"supervisor.kind={cfg.supervisor.kind!r} requires "
+            f"constraint.use_backup=True (got False): the backup "
+            f"controller it would engage is never trained or sampled")
     agent = make_agent(cfg, env_override=adapter)
     scfg, ncfg = cfg.sac, cfg.node
     seed = cfg.run.seed if seed is None else seed
@@ -92,7 +99,24 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
     ts = create_train_state(cfg, kinit)
     rings = HostRings(cfg, adapter.SPEC, seed=seed)
 
-    select = jax.jit(agent.select_action)
+    # Action selection fused with the supervisor's pre-action transition
+    # (backup-flag + timer bumps) so the pair costs ONE device dispatch;
+    # with kind='none' pre_action returns a literal False and the backup
+    # MLP apply is dead code to XLA — identical to the device driver.
+    from nlbac_tpu.train.supervisor import (init_supervisor, post_step,
+                                            pre_action)
+    sup_cfg = cfg.supervisor
+
+    @jax.jit
+    def select(ts, obs, k, warmup, sup, start):
+        use_backup, sup = pre_action(sup_cfg, sup, start)
+        action = agent.select_action(ts, obs, k, warmup, use_backup)
+        return action, use_backup, sup
+
+    sup_post = (jax.jit(lambda sup, obs_prev, out, steps, start:
+                        post_step(sup_cfg, sup, obs_prev, out, steps,
+                                  start))
+                if sup_cfg.kind != "none" else None)
     update = jax.jit(agent.update_from_batch)
     # off-cycle NODE-fit updates feed this dead-branch placeholder: same
     # aval as a real node batch, resident on device once, zero H2D cost
@@ -109,9 +133,14 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         obs = np.array(adapter.host_reset(), np.float32)
         ep_reward = ep_viol = ep_cost = 0.0
         ep_steps = 0
+        ep_backup_steps = 0
         goal_met = False
         last_train = {}
         done = False
+        sup = init_supervisor(sup_cfg)
+        # reference gating: the trigger machines only arm after the
+        # enable episode (UNI/main.py:109 `i_episode > 3`)
+        start_backup = np.bool_(i_episode >= sup_cfg.enable_after_episodes)
         while not done:
             # --- gradient updates (gate: len(memory) > batch_size) ----
             if rings.rl.size > scfg.batch_size:
@@ -137,9 +166,14 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             # --- action selection + host env step ---------------------
             key, kact = jax.random.split(key)
             warmup = total_steps < scfg.start_steps
-            action = np.asarray(select(ts, jnp.asarray(obs), kact,
-                                       jnp.array(warmup),
-                                       jnp.array(False)))
+            action_d, use_backup_d, sup = select(ts, jnp.asarray(obs),
+                                                 kact, jnp.array(warmup),
+                                                 sup, start_backup)
+            # ONE synced D2H for the pair (the action fetch already
+            # blocks; the backup flag rides along instead of paying its
+            # own tunnel round trip)
+            action, use_backup = jax.device_get((action_d, use_backup_d))
+            use_backup = bool(use_backup)
             (next_obs, reward, constraint, lyap_t, lyap_t1, barrier,
              done_env, gm, reached, viol, cost) = adapter.host_step(action)
             ep_steps += 1
@@ -158,12 +192,32 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
                 "next_obs": next_obs, "mask": mask, "t": t,
                 "next_t": t + dt,
             }
-            rings.rl.push(rings.pack(rec))
+            # transitions skip the RL ring while the backup controller is
+            # active but always reach the NODE ring (UNI/main.py:96-104)
+            if not use_backup:
+                rings.rl.push(rings.pack(rec))
             if node_t_shift:
                 rec = dict(rec, t=t + node_t_shift,
                            next_t=t + dt + node_t_shift)
             rings.node.push(rings.pack(rec))
 
+            # --- supervisor trigger machine (same pure state machine as
+            # the device program; one extra dispatch per step) ----------
+            if sup_post is not None:
+                out_t = StepOut(
+                    obs=next_obs, reward=np.float32(reward),
+                    constraint=np.float32(constraint), lyap_t=lyap_t,
+                    lyap_t1=lyap_t1, barrier_signal=np.float32(barrier),
+                    done=np.bool_(done_env), goal_met=np.bool_(gm),
+                    reached=np.float32(reached),
+                    num_violations=np.float32(viol),
+                    safety_cost=np.float32(cost),
+                    viol_breakdown=np.zeros(4, np.float32),
+                    cost_breakdown=np.zeros(4, np.float32))
+                sup = sup_post(sup, obs, out_t, np.int32(ep_steps),
+                               start_backup)
+
+            ep_backup_steps += int(use_backup)
             ep_reward += float(reward)
             ep_viol += float(viol)
             ep_cost += float(cost)
@@ -173,7 +227,7 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         row = {"Episode": i_episode, "episode_steps": ep_steps,
                "reward_train": ep_reward, "cost_train": ep_viol,
                "safety_cost_train": ep_cost, "goal_met": float(goal_met),
-               "updates": updates}
+               "updates": updates, "backup_steps": ep_backup_steps}
         # always emit the full loss column set (0.0 before the first
         # update, matching the device driver's _zero_train_metrics) —
         # EpochLogger freezes headers on the first dump_tabular, so a

@@ -145,6 +145,52 @@ def test_train_dp_mode(tmp_path):
         main(["--preset", "unicycle", "--num_processes", "2"])
 
 
+def test_train_tp_mode(tmp_path):
+    """--tp through the real training loop, composed with --dp: a dp=2 x
+    tp=2 run on the 8-device CPU mesh (Megatron layout: batches sharded
+    over 'dp', params over 'tp') writes the same artifacts as a plain run
+    and performs updates; flag misuse fails loudly."""
+    args = build_parser().parse_args([
+        "--preset", "unicycle", "--max_episodes", "2",
+        "--max_episode_steps", "12", "--batch_size", "8",
+        "--start_steps", "4", "--hidden_size", "16",
+        "--dp", "2", "--tp", "2",
+    ])
+    assert args.tp == 2
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        node=dataclasses.replace(cfg.node, hidden_dim=8,
+                                 f_hidden_layers=1, g_hidden_layers=1,
+                                 max_batch=8, update_interval=2),
+        replay=ReplayConfig(capacity=64, node_capacity=64),
+    )
+    out = str(tmp_path / "tprun")
+    train(cfg, output_dir=out, quiet=True, dp=2, tp=2)
+    for f in ("progress.txt", "config.json", "actor.pkl",
+              "checkpoint.npz"):
+        assert os.path.exists(os.path.join(out, f)), f
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(os.path.join(out, "progress.txt"))
+    assert len(cols["Episode"]) == 2
+    assert cols["updates"][-1] > 0
+    assert np.all(np.isfinite(cols["qf1_loss"]))
+
+    # loud failures: seed x tp unsupported, eval mode, device budget
+    import pytest
+
+    from nlbac_tpu.train.cli import main
+    with pytest.raises(SystemExit, match="n_seeds x --tp"):
+        main(["--preset", "unicycle", "--n_seeds", "2", "--tp", "2"])
+    with pytest.raises(SystemExit, match="training flags"):
+        main(["--preset", "unicycle", "--mode", "eval", "--tp", "2",
+              "--output", out])
+    with pytest.raises(SystemExit, match="needs"):
+        main(["--preset", "unicycle", "--dp", "4", "--tp", "4"])
+    with pytest.raises(SystemExit, match=">= 1"):
+        main(["--preset", "unicycle", "--tp", "0"])
+
+
 def test_multihost_flag_validation_precedes_init(monkeypatch, tmp_path):
     """Invalid multi-host flag combinations must fail loudly BEFORE
     jax.distributed.initialize — init blocks until every process joins,

@@ -198,6 +198,71 @@ def test_dp_training_run_matches_single_device():
     assert "all-reduce" in hlo
 
 
+def test_tp_training_run_matches_single_device():
+    """The USER-FACING tp mode (make_tp_episode_runner / --tp): a
+    multi-episode training run with every network's params, targets, and
+    Adam moments Megatron-sharded over a ('dp'=1, 'tp'=4) mesh must
+    reproduce the single-device run to f32 tolerance, with real
+    collectives in the compiled program."""
+    from nlbac_tpu.parallel import make_tp_episode_runner
+    from nlbac_tpu.train.driver import create_replays, make_episode_runner
+
+    cfg = tiny_cfg()
+    run1 = jax.jit(make_episode_runner(cfg))
+    place, run_tp = make_tp_episode_runner(cfg, tp=4)
+
+    ts1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    rl1, node1 = create_replays(cfg)
+    tst, rlt, nodet, tott = place((ts1, rl1, node1, jnp.int32(0)))
+    # params really sharded (hidden dims divide tp=4); Adam moments carry
+    # the IDENTICAL layout (same alternation over the mirrored tree)
+    w0 = tst.policy["trunk"]["w"][0]
+    assert not w0.sharding.is_fully_replicated
+    mu_w0 = tst.opt["policy"][0].mu["trunk"]["w"][0]
+    assert mu_w0.sharding == w0.sharding
+    tot1 = jnp.int32(0)
+    for ep in range(3):
+        k = jax.random.PRNGKey(ep + 100)
+        ts1, rl1, node1, m1, tot1 = run1(ts1, rl1, node1, k,
+                                         jnp.int32(ep), tot1)
+        tst, rlt, nodet, mt, tott = run_tp(tst, rlt, nodet, k,
+                                           jnp.int32(ep), tott)
+        np.testing.assert_allclose(float(m1.reward), float(mt.reward),
+                                   rtol=2e-4, atol=1e-4)
+        assert int(m1.updates_done) == int(mt.updates_done)
+    assert int(tst.updates) > 0
+    for a, b in zip(jax.tree.leaves(ts1), jax.tree.leaves(tst)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=2e-3)
+    hlo = run_tp.lower(tst, rlt, nodet, jax.random.PRNGKey(0),
+                       jnp.int32(0), tott).compile().as_text()
+    assert "all-reduce" in hlo
+
+
+def test_shard_state_tp_layouts():
+    """shard_state_tp walks the full TrainState: every MLP dict gets the
+    shard_params_tp layout, targets mirror their nets, and non-MLP leaves
+    (counters, temperatures, Lagrangian state, replay-free scalars) stay
+    replicated."""
+    from nlbac_tpu.parallel import make_mesh, shard_state_tp
+
+    cfg = tiny_cfg()
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh((1, 4), ("dp", "tp"))
+    tst = shard_state_tp(ts, mesh)
+    # critic and its target share a layout
+    assert (tst.critic["q1"]["w"][0].sharding
+            == tst.critic_target["q1"]["w"][0].sharding)
+    assert not tst.critic["q1"]["w"][0].sharding.is_fully_replicated
+    # NODE field nets sharded too
+    assert not tst.node["f"]["w"][0].sharding.is_fully_replicated
+    # scalars replicated
+    assert tst.log_alpha.sharding.is_fully_replicated
+    assert tst.updates.sharding.is_fully_replicated
+    # tree structure untouched
+    assert (jax.tree.structure(ts) == jax.tree.structure(tst))
+
+
 def test_dp_divisibility_validated():
     from nlbac_tpu.parallel import make_dp_episode_runner
 

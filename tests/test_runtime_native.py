@@ -180,13 +180,14 @@ def test_host_loop_training_native_data_plane(tmp_path):
     from nlbac_tpu.utils.plot import load_progress
     cols = load_progress(str(tmp_path / "progress.txt"))
     assert len(cols["Episode"]) == 3
-    # loud rejection of supervisor/backup configs
+    # loud rejection of the invalid combo (same rule as the device
+    # driver): a supervisor with no trained backup controller
     import pytest
 
     bad = dataclasses.replace(
         cfg, supervisor=SupervisorConfig(kind="trap"),
-        constraint=dataclasses.replace(cfg.constraint, use_backup=True))
-    with pytest.raises(ValueError, match="primary controller only"):
+        constraint=dataclasses.replace(cfg.constraint, use_backup=False))
+    with pytest.raises(ValueError, match="never trained"):
         train_host_env(bad, adapter, episodes=1)
 
 
@@ -316,3 +317,57 @@ def test_host_loop_node_gate_respects_fit_episode_limit():
     # interval=1 + limit=0: node batches are due ONLY during episode 0
     # (4 post-warm-up update steps there); episodes 1-2 must sample none
     assert 0 < node_samples <= 8, node_samples
+
+
+def test_host_loop_supervisor_backup_semantics(tmp_path):
+    """Backup supervision in host-loop mode: the SAME pure trap machine
+    as the device program engages the backup controller, backup-active
+    transitions skip the RL ring but always reach the NODE ring
+    (UNI/main.py:96-104), and the backup branch of update_from_batch
+    trains (learned_barrier NUM_BACKUP=1)."""
+    import dataclasses
+
+    from nlbac_tpu.config import SupervisorConfig
+    from nlbac_tpu.train import host_loop as hl
+    from nlbac_tpu.train.host_loop import train_host_env
+
+    cfg, adapter = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
+                                              start_steps=0)
+    # aggressive trap knobs so the machine fires within an 8-step
+    # episode: always "trapped" (huge threshold), 2 consecutive checks,
+    # 3-step backup timeout, never escapes by distance
+    cfg = dataclasses.replace(
+        cfg,
+        constraint=dataclasses.replace(cfg.constraint, use_backup=True),
+        supervisor=SupervisorConfig(
+            kind="trap", enable_after_episodes=1, window=4, min_steps=2,
+            trap_threshold=100.0, trap_count=2, backup_max_steps=3,
+            escape_distance_sq=1e9),
+    )
+
+    ring_sizes = {}
+    real_rings = hl.HostRings
+
+    class SpyRings(real_rings):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            ring_sizes["obj"] = self
+
+    hl.HostRings = SpyRings
+    try:
+        ts, history = train_host_env(cfg, adapter, episodes=3, seed=0)
+    finally:
+        hl.HostRings = real_rings
+
+    # episode 0 is below enable_after_episodes: no backup engagement
+    assert history[0]["backup_steps"] == 0
+    # once enabled, the trap machine (always trapped here) must engage
+    engaged = sum(h["backup_steps"] for h in history[1:])
+    assert engaged > 0, "trap supervisor never engaged the backup"
+    # RL ring skipped the backup-active steps; NODE ring got every step
+    rings = ring_sizes["obj"]
+    total = sum(h["episode_steps"] for h in history)
+    assert rings.node.size == total
+    assert rings.rl.size == total - engaged
+    # training still ran (updates gate uses the RL ring)
+    assert history[-1]["updates"] > 0
