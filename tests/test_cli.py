@@ -583,6 +583,23 @@ def test_examples_custom_env_runs():
     assert "zero late safety cost" in out.stdout
 
 
+def test_examples_host_env_training_runs():
+    """examples/host_env_training.py: host-loop training (numpy env +
+    native rings + device updates) with the trap supervisor organically
+    engaging the backup controller in a mud-band env — asserted inside
+    the example; run as a subprocess the way a user would."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(root, "examples", "host_env_training.py"), "--cpu"],
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "host-loop supervision demo OK" in out.stdout
+
+
 def test_examples_fit_dynamics_runs():
     """examples/fit_dynamics.py exercises the public ode + NODE surface
     end-to-end (odeint rk4 data generation, node_train_step fit to
