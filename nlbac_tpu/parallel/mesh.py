@@ -376,11 +376,19 @@ def make_tp_episode_runner(cfg: NLBACConfig, tp: int, dp: int = 1,
     replicated = NamedSharding(mesh, P())
 
     def place(tree):
-        """TP-shard the TrainState (tree[0]); replicate everything else."""
+        """TP-shard the TrainState (tree[0]); replicate everything else.
+
+        Takes a PLAIN tuple ``(ts, ...)`` — passing the TrainState bare
+        would silently index into its fields (it is itself a tuple), so
+        that misuse fails loudly instead."""
+        if type(tree) is not tuple or not tree:
+            raise TypeError(
+                "place() takes a plain tuple (train_state, ...); got "
+                f"{type(tree).__name__} — wrap the TrainState in a tuple")
         ts, rest = tree[0], tree[1:]
         placed = (shard_state_tp(ts, mesh),) + tuple(
             jax.device_put(x, replicated) for x in rest)
-        return placed if rest else placed[0]
+        return placed
 
     run_fn = jax.jit(make_episode_runner(
         cfg, dp_mesh=mesh if dp > 1 else None))
