@@ -260,6 +260,13 @@ def main():
         _a.block_until_ready()
         extra["serving_dispatch_throughput_us_b64"] = round(
             (_time.perf_counter() - _t0) / _n * 1e6, 1)
+        # the blocked number is dominated by the axon tunnel round trip,
+        # which drifts ~400us-30ms across hours (CLAUDE.md); the
+        # dispatch-throughput number is the stable one
+        extra["serving_note"] = ("latency = blocked per-call through the "
+                                 "tunneled device (round-trip dominated, "
+                                 "drifts with tunnel state); dispatch "
+                                 "throughput = pipelined")
     except Exception as e:  # noqa: BLE001
         extra["serving_latency_us_b64"] = f"error: {type(e).__name__}"
 

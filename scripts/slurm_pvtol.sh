@@ -19,6 +19,9 @@ cd "$(dirname "$0")/.."
 # PROCESS_ID=$SLURM_PROCID — rank 0 owns logs/checkpoints.
 DIST_FLAGS=()
 [[ "${DP:-1}" != 1 ]] && DIST_FLAGS+=(--dp "$DP")
+# TP=N Megatron-shards params over a tp axis (grown models;
+# composes with DP on a (dp,tp) mesh — --tp in train/cli.py)
+[[ "${TP:-1}" != 1 ]] && DIST_FLAGS+=(--tp "$TP")
 if [[ "${NUM_PROCESSES:-1}" != 1 ]]; then
   DIST_FLAGS+=(--coordinator "$COORDINATOR" \
                --num_processes "$NUM_PROCESSES" \
