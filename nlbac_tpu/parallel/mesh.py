@@ -20,7 +20,8 @@ Two first-class modes, composable:
   mirroring their tree structure, the targets and Adam moments — are
   Megatron-sharded over a 'tp' axis (:func:`make_tp_episode_runner`);
   GSPMD inserts the row-parallel all-reduces.  Composes with dp on a
-  ('dp', 'tp') mesh.  A throughput loss at the reference's widths
+  ('dp', 'tp') mesh and with ``--n_seeds`` (each seed on its own
+  dp x tp device group).  A throughput loss at the reference's widths
   (documented in the CLI help); the mode exists so grown models shard
   without code changes, numerics certified == single-device.
 
@@ -136,7 +137,8 @@ def make_seed_parallel_runner(cfg: NLBACConfig, mesh: Mesh,
 
 
 def make_async_seed_runner(cfg: NLBACConfig, devices=None,
-                           n_seeds: Optional[int] = None, dp: int = 1):
+                           n_seeds: Optional[int] = None, dp: int = 1,
+                           tp: int = 1):
     """Fast seed-parallel training: one independent training state PER
     DEVICE, advanced by async dispatch of the PLAIN (unbatched) episode
     program — each chip runs at full single-chip speed.
@@ -167,18 +169,25 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
     group), and seeds stay independent across groups under async
     dispatch (no lockstep vmap masking).  This is the ``--n_seeds X
     --dp Y`` layout of a (seed, dp) mesh without the measured 2.3x
-    lockstep penalty of vmapping the episode.
+    lockstep penalty of vmapping the episode.  ``tp > 1`` composes the
+    same way with tensor-parallel groups (group size ``dp * tp``,
+    :func:`make_tp_episode_runner` per group).
     """
     devices = devices if devices is not None else jax.devices()
-    if dp > 1:
-        n_groups = len(devices) // dp
+    if dp > 1 or tp > 1:
+        gsz = dp * tp
+        n_groups = len(devices) // gsz
         if n_groups < 1:
-            raise ValueError(f"dp={dp} needs at least {dp} devices, have "
-                             f"{len(devices)}")
+            raise ValueError(f"dp={dp} x tp={tp} needs at least {gsz} "
+                             f"devices, have {len(devices)}")
         n_seeds = n_groups if n_seeds is None else n_seeds
-        groups = [devices[g * dp:(g + 1) * dp] for g in range(n_groups)]
-        placed = [make_dp_episode_runner(cfg, dp, devices=grp)
-                  for grp in groups]
+        groups = [devices[g * gsz:(g + 1) * gsz] for g in range(n_groups)]
+        if tp > 1:
+            placed = [make_tp_episode_runner(cfg, tp, dp=dp, devices=grp)
+                      for grp in groups]
+        else:
+            placed = [make_dp_episode_runner(cfg, dp, devices=grp)
+                      for grp in groups]
 
         def init_fn_dp(base_seed: int):
             states = []

@@ -76,7 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "episode program (GSPMD inserts the all-reduces; "
                         "numerics == single-device to f32 tolerance — "
                         "certified in dryrun_multichip). Composes with "
-                        "--dp on a ('dp','tp') mesh. A throughput LOSS at "
+                        "--dp on a ('dp','tp') mesh and with --n_seeds "
+                        "(each seed on its own dp x tp device group). A "
+                        "throughput LOSS at "
                         "the reference's widths (hidden <= 256) — the "
                         "mode exists so grown models shard without code "
                         "changes")
@@ -566,7 +568,7 @@ def train(cfg: NLBACConfig, output_dir: str | None = None,
 
 def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
                      output_root: str | None, quiet: bool = False,
-                     dp: int = 1):
+                     dp: int = 1, tp: int = 1):
     """Seed-parallel training (``--n_seeds``): N independent seeds advance
     concurrently by async dispatch of the plain episode program, laid out
     one-per-device round-robin (parallel/mesh.py, the measured fast path)
@@ -613,7 +615,7 @@ def train_multi_seed(cfg: NLBACConfig, n_seeds: int,
     timer = StepTimer()
     with timer.time("init"):
         init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=n_seeds,
-                                                  dp=dp)
+                                                  dp=dp, tp=tp)
         states = init_fn(cfg.run.seed)
 
     save_every = max(1, cfg.run.max_episodes // cfg.run.save_every_fraction)
@@ -759,11 +761,6 @@ def main(argv=None):
                 "devices; launch one seed per process instead")
     if args.dp < 1 or args.tp < 1:
         raise SystemExit("--dp/--tp must be >= 1")
-    if args.tp > 1 and args.n_seeds > 1:
-        raise SystemExit(
-            "--n_seeds x --tp is not supported: tensor-parallel training "
-            "is a single-seed mode (compose --n_seeds with --dp instead, "
-            "or launch one tp run per seed)")
     if args.mode == "eval":
         # Loud failure beats silent loss (same rule as the n_seeds>1
         # branch): these flags have no eval-mode meaning, and silently
@@ -836,9 +833,10 @@ def main(argv=None):
             f"{cfg.run.seed + args.n_seeds - 1} over "
             f"{jax.device_count()} device(s)"
             + (f" x dp={args.dp}" if args.dp > 1 else "")
+            + (f" x tp={args.tp}" if args.tp > 1 else "")
             + f" -> {out}", "green", bold=True))
         train_multi_seed(cfg, args.n_seeds, out, quiet=args.quiet,
-                         dp=args.dp)
+                         dp=args.dp, tp=args.tp)
         return
     lk = (setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed, data_dir=out)
           if rank0 else {"output_dir": None})

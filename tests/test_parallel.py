@@ -263,6 +263,32 @@ def test_shard_state_tp_layouts():
     assert (jax.tree.structure(ts) == jax.tree.structure(tst))
 
 
+def test_async_seed_runner_tp_groups():
+    """--n_seeds x --tp composition: each seed trains tensor-parallel on
+    its own disjoint 4-device group; per-seed trajectories match the
+    plain single-device seed runs to f32 tolerance."""
+    from nlbac_tpu.parallel import make_async_seed_runner
+
+    cfg = tiny_cfg()
+    init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=2, tp=4)
+    states = init_fn(0)
+    assert len(states) == 2
+    # params really tp-sharded per group
+    assert not (states[0][0].policy["trunk"]["w"][0]
+                .sharding.is_fully_replicated)
+    for ep in range(2):
+        states, metrics = step_fn(states, ep)
+    init1, step1 = make_async_seed_runner(cfg, devices=jax.devices()[:2],
+                                          n_seeds=2)
+    s1 = init1(0)
+    for ep in range(2):
+        s1, m1 = step1(s1, ep)
+    for a, b in zip(metrics, m1):
+        np.testing.assert_allclose(float(a.reward), float(b.reward),
+                                   rtol=2e-4, atol=1e-4)
+        assert int(a.steps) == int(b.steps)
+
+
 def test_dp_divisibility_validated():
     from nlbac_tpu.parallel import make_dp_episode_runner
 
