@@ -374,18 +374,26 @@ def make_tp_episode_runner(cfg: NLBACConfig, tp: int, dp: int = 1,
     from nlbac_tpu.train.driver import make_episode_runner
 
     if dp > 1:
-        for name, val in (("sac.batch_size", cfg.sac.batch_size),
-                          ("node.max_batch", cfg.node.max_batch)):
-            if val % dp != 0:
-                raise ValueError(
-                    f"--dp {dp} requires cfg.{name} ({val}) to be "
-                    f"divisible by the dp width (uneven shards would "
-                    f"change the batch-mean normalization)")
+        _validate_batches_divisible(cfg, dp)
+    # Loud failure beats silent loss (the dp path's divisibility rule):
+    # if the main networks' hidden dim doesn't divide tp, EVERY layer
+    # falls into shard_params_tp's replicate branch and N devices do
+    # fully redundant identical work — the opposite of the mode's
+    # purpose. Per-net odd dims (scalar heads, NODE nets) may still
+    # replicate; the hidden dim is what makes the mode shard anything.
+    if cfg.sac.hidden_dim % tp != 0:
+        raise ValueError(
+            f"--tp {tp} requires cfg.sac.hidden_dim "
+            f"({cfg.sac.hidden_dim}) to be divisible by the tp width — "
+            f"otherwise no layer shards and the run is fully-replicated "
+            f"redundant work")
     mesh = make_mesh((dp, tp), ("dp", "tp"), devices=devices)
     replicated = NamedSharding(mesh, P())
 
     def place(tree):
         """TP-shard the TrainState (tree[0]); replicate everything else.
+        ONE batched jax.device_put for the whole tuple (per-leaf puts
+        each pay a tunnel round trip on the axon backend — CLAUDE.md).
 
         Takes a PLAIN tuple ``(ts, ...)`` — passing the TrainState bare
         would silently index into its fields (it is itself a tuple), so
@@ -395,30 +403,47 @@ def make_tp_episode_runner(cfg: NLBACConfig, tp: int, dp: int = 1,
                 "place() takes a plain tuple (train_state, ...); got "
                 f"{type(tree).__name__} — wrap the TrainState in a tuple")
         ts, rest = tree[0], tree[1:]
-        placed = (shard_state_tp(ts, mesh),) + tuple(
-            jax.device_put(x, replicated) for x in rest)
-        return placed
+        shardings = (_tp_state_shardings(ts, mesh),) + tuple(
+            jax.tree.map(lambda _: replicated, r) for r in rest)
+        return jax.device_put(tree, shardings)
 
     run_fn = jax.jit(make_episode_runner(
         cfg, dp_mesh=mesh if dp > 1 else None))
     return place, run_fn
 
 
-def shard_state_tp(tree, mesh: Mesh, tp_axis: str = "tp"):
-    """Recursively apply :func:`shard_params_tp` to every MLP parameter
-    dict (``{"w", "b"}``) found in a pytree; every other leaf is
-    replicated over the mesh.
+def _validate_batches_divisible(cfg: NLBACConfig, dp: int) -> None:
+    """Batch axes must split evenly over dp (uneven shards would change
+    the batch-mean normalization) — shared by the dp and dp x tp
+    runners."""
+    for name, val in (("sac.batch_size", cfg.sac.batch_size),
+                      ("node.max_batch", cfg.node.max_batch)):
+        if val % dp != 0:
+            raise ValueError(
+                f"--dp {dp} requires cfg.{name} ({val}) to be "
+                f"divisible by the dp width (uneven shards would "
+                f"change the batch-mean normalization)")
+
+
+def _tp_state_shardings(tree, mesh: Mesh, tp_axis: str = "tp"):
+    """A sharding pytree matching ``tree``: Megatron col/row layouts for
+    every MLP parameter dict (``{"w", "b"}``), replicated everywhere
+    else.
 
     Target networks and Adam moments mirror their parameter trees
     exactly, so the deterministic column/row alternation lands IDENTICAL
     layouts on params, targets, and optimizer state — the elementwise
     optimizer update then runs fully sharded with no resharding."""
     replicated = NamedSharding(mesh, P())
+    ntp = mesh.shape[tp_axis]
 
     def walk(node):
         if isinstance(node, dict):
             if set(node) == {"w", "b"}:
-                return shard_params_tp(node, mesh, tp_axis)
+                specs = _tp_param_specs(node, ntp, tp_axis)
+                return jax.tree.map(
+                    lambda s: NamedSharding(mesh, s), specs,
+                    is_leaf=lambda x: isinstance(x, P))
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, tuple):
             vals = [walk(v) for v in node]
@@ -426,44 +451,53 @@ def shard_state_tp(tree, mesh: Mesh, tp_axis: str = "tp"):
                     else tuple(vals))
         if isinstance(node, list):
             return [walk(v) for v in node]
-        return jax.device_put(node, replicated)
+        return replicated
 
     return walk(tree)
+
+
+def shard_state_tp(tree, mesh: Mesh, tp_axis: str = "tp"):
+    """Place a pytree with :func:`_tp_state_shardings` layouts in ONE
+    batched ``jax.device_put`` (per-leaf puts each pay a tunnel round
+    trip on the axon backend)."""
+    return jax.device_put(tree, _tp_state_shardings(tree, mesh, tp_axis))
 
 
 # ---------------------------------------------------------------------------
 # Tensor-parallel sharding hooks
 # ---------------------------------------------------------------------------
 
-def shard_params_tp(params, mesh: Mesh, tp_axis: str = "tp"):
-    """Megatron-style sharding annotations for an MLP param tree — the
-    SURVEY §2.3 'sharding-annotation hooks so pjit can shard if models
-    grow'. Not needed at the reference's widths (<=256), but the hook
-    makes any ``mlp_apply`` consumer TP-ready: alternate layers split the
-    output dim (column-parallel) and the input dim (row-parallel);
-    running the unchanged apply under jit lets GSPMD insert the
-    all-reduces over ICI.
-
-    Dims that don't divide the tp axis size (e.g. the final scalar head)
-    stay replicated, so the hook is safe on every net in the zoo."""
-    ntp = mesh.shape[tp_axis]
-
-    def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    new_w, new_b = [], []
+def _tp_param_specs(params, ntp: int, tp_axis: str):
+    """PartitionSpecs for one MLP param dict: alternate layers split the
+    output dim (column-parallel) and the input dim (row-parallel); dims
+    that don't divide ``ntp`` (e.g. the final scalar head) stay
+    replicated, so the layout is safe on every net in the zoo."""
+    w_specs, b_specs = [], []
     want_col = True
     for w, b in zip(params["w"], params["b"]):
         din, dout = w.shape
         if want_col and dout % ntp == 0:
-            new_w.append(put(w, P(None, tp_axis)))
-            new_b.append(put(b, P(tp_axis)))
+            w_specs.append(P(None, tp_axis))
+            b_specs.append(P(tp_axis))
             want_col = False
         elif not want_col and din % ntp == 0:
-            new_w.append(put(w, P(tp_axis, None)))
-            new_b.append(put(b, P()))
+            w_specs.append(P(tp_axis, None))
+            b_specs.append(P())
             want_col = True
         else:  # non-divisible dim: replicate this layer
-            new_w.append(put(w, P()))
-            new_b.append(put(b, P()))
-    return {"w": new_w, "b": new_b}
+            w_specs.append(P())
+            b_specs.append(P())
+    return {"w": w_specs, "b": b_specs}
+
+
+def shard_params_tp(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Megatron-style sharding annotations for an MLP param tree — the
+    SURVEY §2.3 'sharding-annotation hooks so pjit can shard if models
+    grow'. Not needed at the reference's widths (<=256), but the hook
+    makes any ``mlp_apply`` consumer TP-ready: running the unchanged
+    apply under jit lets GSPMD insert the all-reduces over ICI.
+    Layouts per :func:`_tp_param_specs`; ONE batched device_put."""
+    specs = _tp_param_specs(params, mesh.shape[tp_axis], tp_axis)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings)

@@ -231,10 +231,16 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         # always emit the full loss column set (0.0 before the first
         # update, matching the device driver's _zero_train_metrics) —
         # EpochLogger freezes headers on the first dump_tabular, so a
-        # short warm-up episode 0 must not drop the loss columns forever
-        for k in ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                  "node_loss"):
-            row[k] = float(last_train[k]) if last_train else 0.0
+        # short warm-up episode 0 must not drop the loss columns forever.
+        # ONE batched D2H for the five scalars: separate float() reads
+        # each pay a tunnel round trip on the axon backend (CLAUDE.md)
+        loss_keys = ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+                     "node_loss")
+        if last_train:
+            fetched = jax.device_get({k: last_train[k] for k in loss_keys})
+            row.update({k: float(v) for k, v in fetched.items()})
+        else:
+            row.update({k: 0.0 for k in loss_keys})
         history.append(row)
         if logger is not None:
             logger.store(**row)

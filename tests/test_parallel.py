@@ -297,6 +297,18 @@ def test_dp_divisibility_validated():
         make_dp_episode_runner(cfg, 3)
 
 
+def test_tp_divisibility_validated():
+    """A tp width that divides no layer dim would replicate EVERYTHING
+    (N devices doing redundant identical work) — loud failure instead."""
+    from nlbac_tpu.parallel import make_tp_episode_runner
+
+    cfg = tiny_cfg()  # hidden_dim=16
+    with pytest.raises(ValueError, match="hidden_dim"):
+        make_tp_episode_runner(cfg, tp=3)
+    with pytest.raises(ValueError, match="divisible"):
+        make_tp_episode_runner(cfg, tp=2, dp=3)  # batch_size=8 % 3
+
+
 def test_async_seed_runner_dp_groups():
     """--n_seeds x --dp composition: each seed trains dp-sharded on its
     own disjoint device group; per-seed trajectories match the plain
