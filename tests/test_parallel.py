@@ -297,6 +297,40 @@ def test_dp_divisibility_validated():
         make_dp_episode_runner(cfg, 3)
 
 
+def test_tp_param_memory_shards():
+    """The tp mode's stated purpose — grown models shard — made
+    concrete: under tp=8 a wide TrainState's per-device footprint is a
+    fraction of the replicated one (the hidden x hidden weights, their
+    targets, and both Adam moments each hold 1/8 per device)."""
+    from nlbac_tpu.parallel import make_mesh, shard_state_tp
+
+    cfg = get_config("unicycle")
+    cfg = dataclasses.replace(
+        cfg,
+        sac=dataclasses.replace(cfg.sac, hidden_dim=512),
+        node=dataclasses.replace(cfg.node, hidden_dim=64),
+    )
+    ts = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh((1, 8), ("dp", "tp"))
+    tst = shard_state_tp(ts, mesh)
+
+    w = tst.critic["q1"]["w"][1]  # hidden x hidden: row-sharded
+    assert w.addressable_shards[0].data.nbytes == w.nbytes // 8
+    mu = tst.opt["critic"][0].mu["q1"]["w"][1]  # Adam moment: same layout
+    assert mu.addressable_shards[0].data.nbytes == mu.nbytes // 8
+
+    def per_device_bytes(tree):
+        return sum(x.addressable_shards[0].data.nbytes
+                   for x in jax.tree.leaves(tree)
+                   if hasattr(x, "addressable_shards"))
+
+    total = sum(x.nbytes for x in jax.tree.leaves(ts))
+    per_dev = per_device_bytes(tst)
+    # most parameters live in hidden x hidden layers -> the sharded
+    # state holds well under half the replicated bytes per device
+    assert per_dev < 0.5 * total, (per_dev, total)
+
+
 def test_tp_divisibility_validated():
     """A tp width that divides no layer dim would replicate EVERYTHING
     (N devices doing redundant identical work) — loud failure instead."""
