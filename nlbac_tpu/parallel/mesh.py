@@ -181,13 +181,17 @@ def make_async_seed_runner(cfg: NLBACConfig, devices=None,
             raise ValueError(f"dp={dp} x tp={tp} needs at least {gsz} "
                              f"devices, have {len(devices)}")
         n_seeds = n_groups if n_seeds is None else n_seeds
-        groups = [devices[g * gsz:(g + 1) * gsz] for g in range(n_groups)]
+        # round-robin over i % n_used groups: with n_seeds < n_groups the
+        # tail groups are never indexed — don't build their meshes/agents
+        n_used = min(n_seeds, n_groups)
+        groups = [devices[g * gsz:(g + 1) * gsz] for g in range(n_used)]
         if tp > 1:
             placed = [make_tp_episode_runner(cfg, tp, dp=dp, devices=grp)
                       for grp in groups]
         else:
             placed = [make_dp_episode_runner(cfg, dp, devices=grp)
                       for grp in groups]
+        n_groups = n_used
 
         def init_fn_dp(base_seed: int):
             states = []
@@ -438,6 +442,8 @@ def _tp_state_shardings(tree, mesh: Mesh, tp_axis: str = "tp"):
     ntp = mesh.shape[tp_axis]
 
     def walk(node):
+        if node is None:  # None is an empty pytree: no sharding leaf
+            return None
         if isinstance(node, dict):
             if set(node) == {"w", "b"}:
                 specs = _tp_param_specs(node, ntp, tp_axis)

@@ -761,6 +761,14 @@ def main(argv=None):
                 "devices; launch one seed per process instead")
     if args.dp < 1 or args.tp < 1:
         raise SystemExit("--dp/--tp must be >= 1")
+    if (args.tp > 1 and args.hidden_size
+            and args.hidden_size % args.tp != 0):
+        # arg-only (pre-init_distributed) form of the tp divisibility
+        # rule; the preset-default case is re-checked after the config
+        # is built, below
+        raise SystemExit(
+            f"--tp {args.tp} requires --hidden_size ({args.hidden_size}) "
+            f"to be divisible by the tp width (nothing would shard)")
     if args.mode == "eval":
         # Loud failure beats silent loss (same rule as the n_seeds>1
         # branch): these flags have no eval-mode meaning, and silently
@@ -803,6 +811,20 @@ def main(argv=None):
                          f"{args.dp * args.tp} devices; this "
                          f"process sees {jax.device_count()} "
                          f"({jax.default_backend()})")
+    # clean failures BEFORE any output dir / per-seed logger is created
+    # (the runner builders raise the same rules as ValueErrors — these
+    # SystemExits keep CLI misuse from leaving half-made run dirs)
+    if args.tp > 1 and cfg.sac.hidden_dim % args.tp != 0:
+        raise SystemExit(
+            f"--tp {args.tp} requires the hidden dim "
+            f"({cfg.sac.hidden_dim}) to be divisible by the tp width "
+            f"(nothing would shard — N devices of redundant work)")
+    if args.dp > 1 and (cfg.sac.batch_size % args.dp != 0
+                        or cfg.node.max_batch % args.dp != 0):
+        raise SystemExit(
+            f"--dp {args.dp} requires batch_size "
+            f"({cfg.sac.batch_size}) and the NODE max_batch "
+            f"({cfg.node.max_batch}) to be divisible by the dp width")
     # rank-0 gating (multi-host --dp): every process runs the same
     # program (GSPMD requires it), but only rank 0 owns the output dir,
     # progress.txt, and checkpoints — the reference's proc_id()==0

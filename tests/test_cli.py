@@ -187,6 +187,15 @@ def test_train_tp_mode(tmp_path):
         main(["--preset", "unicycle", "--dp", "4", "--tp", "4"])
     with pytest.raises(SystemExit, match=">= 1"):
         main(["--preset", "unicycle", "--tp", "0"])
+    # divisibility misuse fails as clean SystemExit BEFORE any output
+    # dir is made: arg-only (explicit --hidden_size, pre-init) and
+    # config-level (preset default hidden 256 % 3) forms, plus dp batch
+    with pytest.raises(SystemExit, match="hidden_size"):
+        main(["--preset", "unicycle", "--tp", "2", "--hidden_size", "25"])
+    with pytest.raises(SystemExit, match="hidden dim"):
+        main(["--preset", "unicycle", "--tp", "3"])
+    with pytest.raises(SystemExit, match="divisible"):
+        main(["--preset", "unicycle", "--dp", "5"])
 
 
 def test_multihost_flag_validation_precedes_init(monkeypatch, tmp_path):

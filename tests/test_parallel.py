@@ -264,13 +264,14 @@ def test_shard_state_tp_layouts():
 
 
 def test_async_seed_runner_tp_groups():
-    """--n_seeds x --tp composition: each seed trains tensor-parallel on
-    its own disjoint 4-device group; per-seed trajectories match the
-    plain single-device seed runs to f32 tolerance."""
+    """--n_seeds x --dp x --tp TRIPLE composition: each seed trains on
+    its own disjoint 4-device (dp=2, tp=2) group — batches sharded over
+    'dp', params over 'tp' — and per-seed trajectories match the plain
+    single-device seed runs to f32 tolerance."""
     from nlbac_tpu.parallel import make_async_seed_runner
 
     cfg = tiny_cfg()
-    init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=2, tp=4)
+    init_fn, step_fn = make_async_seed_runner(cfg, n_seeds=2, dp=2, tp=2)
     states = init_fn(0)
     assert len(states) == 2
     # params really tp-sharded per group
