@@ -4,6 +4,7 @@ from nlbac_tpu.envs.host_adapter import (  # noqa: F401
     HostEnvAdapter,
     make_host_env,
 )
+from nlbac_tpu.envs.host_shim import as_host_env  # noqa: F401
 
 _ENVS = {"unicycle": unicycle, "cars": cars, "pvtol": pvtol,
          "quadrotor": quadrotor}

@@ -371,3 +371,32 @@ def test_host_loop_supervisor_backup_semantics(tmp_path):
     assert rings.rl.size == total - engaged
     # training still ran (updates gate uses the RL ring)
     assert history[-1]["updates"] > 0
+
+
+def test_host_loop_real_preset_via_shim(tmp_path):
+    """The host-loop architecture drives a REAL preset: as_host_env
+    wraps the pure-JAX unicycle module in the reference's host gym API
+    (envs/host_shim.py), and train_host_env runs the unmodified
+    unicycle constraint stack (CBF/CLF builder, trap supervisor wired,
+    obs->NODE-state adapter forwarded) — not just toy point-mass envs."""
+    import dataclasses
+
+    from nlbac_tpu.config import ReplayConfig, get_config
+    from nlbac_tpu.envs import as_host_env, unicycle
+    from nlbac_tpu.train.host_loop import train_host_env
+
+    cfg = get_config("unicycle")
+    cfg = dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, max_episode_steps=40),
+        sac=dataclasses.replace(cfg.sac, start_steps=20, batch_size=32),
+        replay=ReplayConfig(capacity=4096, node_capacity=4096),
+    )
+    adapter = as_host_env(unicycle, seed=9, max_episode_steps=40)
+    # the NODE adapter really forwarded (identity would feed 7-d obs
+    # into the 3-d NODE and crash the update)
+    assert adapter.obs_to_state is unicycle.obs_to_state
+    ts, history = train_host_env(cfg, adapter, episodes=2, seed=9)
+    assert history[-1]["updates"] > 0
+    assert np.isfinite(history[-1]["qf1_loss"])
+    assert all(h["episode_steps"] <= 40 for h in history)
