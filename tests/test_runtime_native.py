@@ -394,8 +394,12 @@ def test_host_loop_real_preset_via_shim(tmp_path):
     )
     adapter = as_host_env(unicycle, seed=9, max_episode_steps=40)
     # the NODE adapter really forwarded (identity would feed 7-d obs
-    # into the 3-d NODE and crash the update)
+    # into the 3-d NODE and crash the update); pvtol gets its special
+    # obs_to_dynamics_state (the registry path's make_agent rule)
     assert adapter.obs_to_state is unicycle.obs_to_state
+    from nlbac_tpu.envs import pvtol
+    assert (as_host_env(pvtol).obs_to_state
+            is pvtol.obs_to_dynamics_state)
     ts, history = train_host_env(cfg, adapter, episodes=2, seed=9)
     assert history[-1]["updates"] > 0
     assert np.isfinite(history[-1]["qf1_loss"])
