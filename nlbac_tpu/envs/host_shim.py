@@ -32,20 +32,23 @@ class _HostShim:
     over the functional reset/step)."""
 
     def __init__(self, env_module, seed: int = 0, barrier_B: float = 0.0,
-                 barrier_b: float = 0.0, max_episode_steps=None):
+                 barrier_b: float = 0.0, max_episode_steps=None,
+                 step_kwargs=None):
         self._env = env_module
         self._max_steps = (env_module.SPEC.max_episode_steps
                            if max_episode_steps is None
                            else int(max_episode_steps))
         self._key = jax.random.PRNGKey(seed)
         self._state = None
+        extra = dict(step_kwargs or {})
         self._reset = jax.jit(
             lambda k: env_module.reset(k,
                                        max_episode_steps=self._max_steps))
         self._step = jax.jit(
             lambda s, a: env_module.step(
                 s, jnp.asarray(a, jnp.float32), barrier_B=barrier_B,
-                barrier_b=barrier_b, max_episode_steps=self._max_steps))
+                barrier_b=barrier_b, max_episode_steps=self._max_steps,
+                **extra))
 
     def reset(self):
         self._key, krst = jax.random.split(self._key)
@@ -70,17 +73,22 @@ class _HostShim:
 
 
 def as_host_env(env_module, seed: int = 0, barrier_B: float = 0.0,
-                barrier_b: float = 0.0,
-                max_episode_steps=None) -> HostEnvAdapter:
+                barrier_b: float = 0.0, max_episode_steps=None,
+                step_kwargs=None) -> HostEnvAdapter:
     """Wrap ``env_module`` (a pure-JAX env module: SPEC + reset/step) in
     the reference's host gym API and return a ready
-    :class:`HostEnvAdapter` for host-loop training / io_callback use."""
+    :class:`HostEnvAdapter` for host-loop training / io_callback use.
+
+    ``step_kwargs`` are extra static kwargs baked into the jitted step
+    (the driver's opt-in kill_penalty/kill_attitude —
+    train/driver.build_step_kwargs)."""
     spec = env_module.SPEC
     if max_episode_steps is not None:
         spec = spec._replace(max_episode_steps=int(max_episode_steps))
     shim = _HostShim(env_module, seed=seed, barrier_B=barrier_B,
                      barrier_b=barrier_b,
-                     max_episode_steps=max_episode_steps)
+                     max_episode_steps=max_episode_steps,
+                     step_kwargs=step_kwargs)
     adapter = HostEnvAdapter(shim, spec, has_barrier_signal=True)
     # Forward the module's obs -> NODE-state adapter: make_agent reads
     # `obs_to_state` off the env (identity when absent — correct only

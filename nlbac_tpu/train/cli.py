@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's widths (hidden <= 256) — the "
                         "mode exists so grown models shard without code "
                         "changes")
+    p.add_argument("--host_loop", action="store_true",
+                   help="train with the host-loop architecture instead "
+                        "of the fused device program: host-side data "
+                        "plane (native C++ replay rings), a Python step "
+                        "loop, device-side updates — the reference's "
+                        "own program shape (UNI/main.py:56-104). The "
+                        "preset env runs through the host gym API "
+                        "(envs.as_host_env); same semantics, one device "
+                        "dispatch per env step, so on a tunneled TPU "
+                        "the fused mode is the fast path. Single-seed, "
+                        "single-device; no spawn curriculum")
     # multi-host launch (jax.distributed): one process per host, same
     # command everywhere apart from --process_id. The successor to the
     # reference's vendored-but-dead mpi_fork (UNI/utils/mpi_tools.py).
@@ -769,6 +780,25 @@ def main(argv=None):
         raise SystemExit(
             f"--tp {args.tp} requires --hidden_size ({args.hidden_size}) "
             f"to be divisible by the tp width (nothing would shard)")
+    if args.host_loop:
+        # Loud failures (same rule as eval mode below): the host-loop
+        # trainer is single-seed/single-device and has no checkpoint/
+        # resume/profile/sink path — silently ignoring these flags
+        # would misreport what actually ran.
+        if args.mode == "eval":
+            raise SystemExit("--host_loop is a training flag; it has "
+                             "no effect with --mode eval")
+        if args.n_seeds > 1 or args.dp > 1 or args.tp > 1 \
+                or args.num_processes > 1:
+            raise SystemExit(
+                "--host_loop is single-seed, single-device: --n_seeds/"
+                "--dp/--tp/--num_processes are fused-device-mode flags")
+        for flag in ("resume", "checkpoint", "profile_dir", "wandb",
+                     "tensorboard"):
+            if getattr(args, flag, None):
+                raise SystemExit(f"--{flag} is a fused-device-mode "
+                                 f"feature; it is not supported with "
+                                 f"--host_loop")
     if args.mode == "eval":
         # Loud failure beats silent loss (same rule as the n_seeds>1
         # branch): these flags have no eval-mode meaning, and silently
@@ -805,6 +835,45 @@ def main(argv=None):
                                 include_barrier=uses_barrier(
                                     cfg.constraint.kind))
         run_policy(cfg, ts, episodes=5, seed=cfg.run.seed)
+        return
+    if args.host_loop:
+        # Host-loop training mode: the preset env behind the reference's
+        # host gym API, native C++ replay rings, device-side updates
+        # (train/host_loop.py). Same output layout as train() — config
+        # .json + progress.txt + final reference-layout weights, so
+        # --mode eval and nlbac-plot read host-loop runs unchanged.
+        from nlbac_tpu.envs import as_host_env, get_env
+        from nlbac_tpu.train.driver import build_step_kwargs
+        from nlbac_tpu.train.host_loop import train_host_env
+        if getattr(cfg.env, "spawn_curriculum_episodes", 0) > 0:
+            raise SystemExit(
+                "--host_loop does not support the spawn curriculum (the "
+                "host gym API has no per-episode reset_curriculum "
+                "channel); drop --spawn_curriculum_episodes or use the "
+                "fused device mode")
+        env_module = get_env(cfg.env.name)
+        adapter = as_host_env(
+            env_module, seed=cfg.run.seed,
+            barrier_B=cfg.env.barrier_B if cfg.env.barrier_signals else 0.0,
+            barrier_b=cfg.env.barrier_b if cfg.env.barrier_signals else 0.0,
+            max_episode_steps=cfg.env.max_episode_steps,
+            step_kwargs=build_step_kwargs(cfg, env_module))
+        out = get_output_folder(args.output, cfg.env.name)
+        lk = setup_logger_kwargs(cfg.run.exp_name, cfg.run.seed,
+                                 data_dir=out)
+        logger = EpochLogger(lk["output_dir"], quiet=args.quiet)
+        logger.save_config(cfg)
+        print(colorize(f"NLBAC-TPU preset={args.preset} "
+                       f"env={cfg.env.name} "
+                       f"backend={jax.default_backend()} host-loop "
+                       f"-> {out}", "green", bold=True))
+        ts, _history = train_host_env(cfg, adapter, logger=logger,
+                                      quiet=args.quiet)
+        save_model_weights(lk["output_dir"], ts,
+                           include_barrier=uses_barrier(
+                               cfg.constraint.kind))
+        print(colorize(f"saved final weights -> {lk['output_dir']}",
+                       "yellow"))
         return
     if args.dp * args.tp > 1 and jax.device_count() < args.dp * args.tp:
         raise SystemExit(f"--dp {args.dp} x --tp {args.tp} needs "

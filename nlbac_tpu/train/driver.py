@@ -77,6 +77,26 @@ def _zero_train_metrics():
              "barrier_td_loss", "rho", "lam_max")}
 
 
+def build_step_kwargs(cfg: NLBACConfig, env) -> dict:
+    """The opt-in extra env.step kwargs (static, baked into the compiled
+    program): kill_penalty / kill_attitude, passed only when nonzero so
+    envs whose step() lacks the kwarg are untouched.  Shared between the
+    fused device driver and the host-loop CLI mode (envs.as_host_env
+    bakes them into the shim's jitted step)."""
+    step_kwargs = {}
+    for name in ("kill_penalty", "kill_attitude"):
+        value = getattr(cfg.env, name, 0.0)
+        if value:
+            import inspect
+
+            if name not in inspect.signature(env.step).parameters:
+                raise ValueError(
+                    f"{name}={value} but env {cfg.env.name!r} step() "
+                    f"does not accept it (quadrotor only)")
+            step_kwargs[name] = value
+    return step_kwargs
+
+
 def make_episode_runner(cfg: NLBACConfig, env_override=None, *,
                         _update_step=None, _agent=None, dp_mesh=None):
     """Build ``run_episode(ts, rl_replay, node_replay, key, i_episode,
@@ -143,25 +163,7 @@ def make_episode_runner(cfg: NLBACConfig, env_override=None, *,
     # Opt-in extra step kwargs (static, baked into the compiled program).
     # Only passed when set, so envs whose step() lacks the kwarg are
     # untouched and the default program is byte-identical to before.
-    step_kwargs = {}
-    kill_penalty = getattr(cfg.env, "kill_penalty", 0.0)
-    if kill_penalty:
-        import inspect
-
-        if "kill_penalty" not in inspect.signature(env.step).parameters:
-            raise ValueError(
-                f"kill_penalty={kill_penalty} but env {cfg.env.name!r} "
-                f"step() does not accept it (quadrotor only)")
-        step_kwargs["kill_penalty"] = kill_penalty
-    kill_attitude = getattr(cfg.env, "kill_attitude", 0.0)
-    if kill_attitude:
-        import inspect
-
-        if "kill_attitude" not in inspect.signature(env.step).parameters:
-            raise ValueError(
-                f"kill_attitude={kill_attitude} but env {cfg.env.name!r} "
-                f"step() does not accept it (quadrotor only)")
-        step_kwargs["kill_attitude"] = kill_attitude
+    step_kwargs = build_step_kwargs(cfg, env)
 
     if cfg.supervisor.kind != "none" and not ccfg.use_backup:
         # The supervisor would raise use_backup=True at runtime but

@@ -897,3 +897,56 @@ def test_evaluate_cli_json(tmp_path):
     assert np.isfinite(rets).all()
     np.testing.assert_allclose(d["mean"]["return"], np.mean(rets),
                                rtol=1e-6)
+
+
+def test_cli_host_loop_mode(tmp_path):
+    """--host_loop is a user-invocable training mode: the preset env
+    behind the host gym API + native C++ rings (train/host_loop.py),
+    producing the SAME run-dir artifacts as the fused mode — config
+    .json, progress.txt with the loss columns, reference-layout weights
+    that --mode eval then loads."""
+    import pytest
+
+    from nlbac_tpu import runtime_native as rn
+    from nlbac_tpu.train.cli import main
+
+    if not rn.native_available():
+        pytest.skip("native host data plane unavailable")
+    out = str(tmp_path / "hl")
+    main(["--preset", "unicycle", "--host_loop", "--max_episodes", "2",
+          "--max_episode_steps", "20", "--start_steps", "10",
+          "--batch_size", "16", "--replay_size", "4096",
+          "--output", out, "--quiet"])
+    run = os.path.join(out, "unicycle-run1", "Node_LBAC_Unicycle",
+                       "Node_LBAC_Unicycle_s12345")
+    for f in ("progress.txt", "config.json", "actor.pkl", "critic.pkl",
+              "lyapunov.pkl", "node_model.pkl"):
+        assert os.path.exists(os.path.join(run, f)), f
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(os.path.join(run, "progress.txt"))
+    assert len(cols["Episode"]) == 2
+    assert np.all(np.isfinite(cols["reward_train"]))
+    # warm-up episode emits the loss columns too (header freezing)
+    assert "qf1_loss" in cols and "policy_loss" in cols
+    # the saved weights round-trip through the eval entry point
+    main(["--preset", "unicycle", "--mode", "eval", "--output", run,
+          "--max_episode_steps", "20"])
+
+
+def test_cli_host_loop_rejects_fused_mode_flags():
+    """--host_loop fails loudly when combined with fused-device-mode
+    features (dp/tp/n_seeds/resume/checkpoint/sinks, eval mode, spawn
+    curriculum) instead of silently ignoring them."""
+    import pytest
+
+    from nlbac_tpu.train.cli import main
+
+    for extra in (["--dp", "2"], ["--tp", "2"], ["--n_seeds", "2"],
+                  ["--resume", "x.npz"], ["--checkpoint", "x.npz"],
+                  ["--profile_dir", "/tmp/p"], ["--wandb"],
+                  ["--tensorboard"], ["--mode", "eval"]):
+        with pytest.raises(SystemExit):
+            main(["--preset", "unicycle", "--host_loop"] + extra)
+    with pytest.raises(SystemExit, match="curriculum"):
+        main(["--preset", "quadrotor", "--host_loop",
+              "--spawn_curriculum_episodes", "5"])
