@@ -404,3 +404,37 @@ def test_host_loop_real_preset_via_shim(tmp_path):
     assert history[-1]["updates"] > 0
     assert np.isfinite(history[-1]["qf1_loss"])
     assert all(h["episode_steps"] <= 40 for h in history)
+
+
+def test_as_host_env_forwards_step_kwargs():
+    """step_kwargs (the driver's opt-in kill semantics,
+    train/driver.build_step_kwargs) are baked into the shim's jitted
+    step: a saturated-differential-thrust tumble terminates under
+    kill_attitude through the host gym API exactly as it does in the
+    raw env module, while the kwarg-less shim keeps flying."""
+    import jax.numpy as jnp
+
+    from nlbac_tpu.envs import as_host_env, quadrotor as quad
+
+    a_spin = np.concatenate([np.asarray(quad.SPEC.action_low[:1]),
+                             np.asarray(quad.SPEC.action_high[1:])])
+    limit = float(jnp.pi / 2)
+    killed = as_host_env(quad, seed=3,
+                         step_kwargs={"kill_attitude": limit,
+                                      "kill_penalty": 250.0})
+    plain = as_host_env(quad, seed=3)
+    killed.host_reset(), plain.host_reset()
+    done_k = done_p = None
+    for i in range(200):
+        if done_k is None:
+            out = killed.host_step(a_spin)
+            if bool(out[6]):
+                done_k = i
+                # terminal step collects the kill penalty
+                assert float(out[1]) < -200.0
+        if done_p is None and bool(plain.host_step(a_spin)[6]):
+            done_p = i
+        if done_k is not None and done_p is not None:
+            break
+    # the attitude kill fires long before the plain env's position box
+    assert done_k is not None and (done_p is None or done_k < done_p)
