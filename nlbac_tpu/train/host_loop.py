@@ -41,6 +41,7 @@ import numpy as np
 from nlbac_tpu import replay as replay_lib
 from nlbac_tpu.agent import create_train_state, make_agent
 from nlbac_tpu.config import NLBACConfig
+from nlbac_tpu.constraints import uses_barrier
 from nlbac_tpu.envs.base import StepOut
 
 
@@ -234,8 +235,12 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         # short warm-up episode 0 must not drop the loss columns forever.
         # ONE batched D2H for the five scalars: separate float() reads
         # each pay a tunnel round trip on the axon backend (CLAUDE.md)
-        loss_keys = ("qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                     "node_loss")
+        loss_keys = ["qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
+                     "node_loss"]
+        if uses_barrier(cfg.constraint.kind):
+            # NBC-family runs append the barrier-critic TD loss, same
+            # column convention as the fused driver (train/cli.py)
+            loss_keys.append("barrier_td_loss")
         if last_train:
             fetched = jax.device_get({k: last_train[k] for k in loss_keys})
             row.update({k: float(v) for k, v in fetched.items()})

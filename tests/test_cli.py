@@ -950,3 +950,31 @@ def test_cli_host_loop_rejects_fused_mode_flags():
     with pytest.raises(SystemExit, match="curriculum"):
         main(["--preset", "quadrotor", "--host_loop",
               "--spawn_curriculum_episodes", "5"])
+
+
+def test_cli_host_loop_nbc_barrier_column(tmp_path):
+    """NBC presets under --host_loop emit the barrier_td_loss progress
+    column (same convention as the fused driver) with a nonzero value
+    once updates run, and save barrier.pkl."""
+    import glob
+
+    import pytest
+
+    from nlbac_tpu import runtime_native as rn
+    from nlbac_tpu.train.cli import main
+
+    if not rn.native_available():
+        pytest.skip("native host data plane unavailable")
+    out = str(tmp_path / "hl_nbc")
+    main(["--preset", "nbc_unicycle", "--host_loop", "--max_episodes",
+          "2", "--max_episode_steps", "25", "--start_steps", "10",
+          "--batch_size", "16", "--replay_size", "4096",
+          "--output", out, "--quiet"])
+    p = glob.glob(os.path.join(out, "**", "progress.txt"),
+                  recursive=True)[0]
+    from nlbac_tpu.utils.plot import load_progress
+    cols = load_progress(p)
+    assert "barrier_td_loss" in cols
+    assert np.isfinite(cols["barrier_td_loss"]).all()
+    assert abs(cols["barrier_td_loss"][-1]) > 0
+    assert os.path.exists(os.path.join(os.path.dirname(p), "barrier.pkl"))
