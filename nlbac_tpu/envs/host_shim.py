@@ -103,4 +103,8 @@ def as_host_env(env_module, seed: int = 0, barrier_B: float = 0.0,
         adapter.obs_to_state = node_adapter
     if hasattr(env_module, "state_to_obs"):
         adapter.state_to_obs = env_module.state_to_obs
+    if hasattr(env_module, "ground_probe_obs"):
+        # quadrotor's fixed probe batch (SacConfig.probe_pretanh_reg,
+        # lever 18) — make_agent reads it off the env it is handed
+        adapter.ground_probe_obs = env_module.ground_probe_obs
     return adapter

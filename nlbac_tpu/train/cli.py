@@ -794,7 +794,7 @@ def main(argv=None):
                 "--host_loop is single-seed, single-device: --n_seeds/"
                 "--dp/--tp/--num_processes are fused-device-mode flags")
         for flag in ("resume", "checkpoint", "profile_dir", "wandb",
-                     "tensorboard"):
+                     "tensorboard", "save_best"):
             if getattr(args, flag, None):
                 raise SystemExit(f"--{flag} is a fused-device-mode "
                                  f"feature; it is not supported with "

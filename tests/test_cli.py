@@ -944,7 +944,8 @@ def test_cli_host_loop_rejects_fused_mode_flags():
     for extra in (["--dp", "2"], ["--tp", "2"], ["--n_seeds", "2"],
                   ["--resume", "x.npz"], ["--checkpoint", "x.npz"],
                   ["--profile_dir", "/tmp/p"], ["--wandb"],
-                  ["--tensorboard"], ["--mode", "eval"]):
+                  ["--tensorboard"], ["--mode", "eval"],
+                  ["--save_best", "reward"]):
         with pytest.raises(SystemExit):
             main(["--preset", "unicycle", "--host_loop"] + extra)
     with pytest.raises(SystemExit, match="curriculum"):
