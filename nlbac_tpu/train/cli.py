@@ -845,12 +845,14 @@ def main(argv=None):
         from nlbac_tpu.envs import as_host_env, get_env
         from nlbac_tpu.train.driver import build_step_kwargs
         from nlbac_tpu.train.host_loop import train_host_env
-        if getattr(cfg.env, "spawn_curriculum_episodes", 0) > 0:
+        if (getattr(cfg.env, "spawn_curriculum_episodes", 0) > 0
+                or getattr(cfg.env, "spawn_curriculum_mode",
+                           "anneal") != "anneal"):
             raise SystemExit(
                 "--host_loop does not support the spawn curriculum (the "
                 "host gym API has no per-episode reset_curriculum "
-                "channel); drop --spawn_curriculum_episodes or use the "
-                "fused device mode")
+                "channel); drop the --spawn_curriculum_* flags or use "
+                "the fused device mode")
         env_module = get_env(cfg.env.name)
         adapter = as_host_env(
             env_module, seed=cfg.run.seed,
