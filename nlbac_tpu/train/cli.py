@@ -794,11 +794,25 @@ def main(argv=None):
                 "--host_loop is single-seed, single-device: --n_seeds/"
                 "--dp/--tp/--num_processes are fused-device-mode flags")
         for flag in ("resume", "checkpoint", "profile_dir", "wandb",
-                     "tensorboard", "save_best"):
+                     "tensorboard", "save_best",
+                     # dependent flags whose base flag is rejected above:
+                     # silently ignoring them would break the mode's
+                     # loud-failure principle just the same
+                     "save_best_window", "save_best_after",
+                     "wandb_project"):
             if getattr(args, flag, None):
                 raise SystemExit(f"--{flag} is a fused-device-mode "
                                  f"feature; it is not supported with "
                                  f"--host_loop")
+        # the native host data plane is load-bearing for this mode; fail
+        # here, BEFORE any run dir / config.json is created (same
+        # loud-SystemExit-before-output-dirs rule as the dp/tp checks)
+        from nlbac_tpu import runtime_native
+        if not runtime_native.native_available():
+            raise SystemExit(
+                "--host_loop needs the native host data plane "
+                "(runtime/libnlbac_host.so) and it could not be built; "
+                "run `make -C runtime` and check for a g++ toolchain")
     if args.mode == "eval":
         # Loud failure beats silent loss (same rule as the n_seeds>1
         # branch): these flags have no eval-mode meaning, and silently

@@ -132,7 +132,7 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         # place) its internal state buffer; stored transitions must not
         # alias it or rec["obs"] silently becomes rec["next_obs"]
         obs = np.array(adapter.host_reset(), np.float32)
-        ep_reward = ep_viol = ep_cost = 0.0
+        ep_reward = ep_viol = ep_cost = ep_reached = 0.0
         ep_steps = 0
         ep_backup_steps = 0
         goal_met = False
@@ -222,21 +222,26 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             ep_reward += float(reward)
             ep_viol += float(viol)
             ep_cost += float(cost)
+            ep_reached += float(reached)
             goal_met = goal_met or bool(gm)
             obs = np.array(next_obs, np.float32)  # de-alias (see reset)
 
         row = {"Episode": i_episode, "episode_steps": ep_steps,
                "reward_train": ep_reward, "cost_train": ep_viol,
                "safety_cost_train": ep_cost, "goal_met": float(goal_met),
+               "reached": ep_reached,
                "updates": updates, "backup_steps": ep_backup_steps}
-        # always emit the full loss column set (0.0 before the first
-        # update, matching the device driver's _zero_train_metrics) —
-        # EpochLogger freezes headers on the first dump_tabular, so a
+        # always emit the full loss/diagnostic column set (0.0 before the
+        # first update, matching the device driver's _zero_train_metrics)
+        # — EpochLogger freezes headers on the first dump_tabular, so a
         # short warm-up episode 0 must not drop the loss columns forever.
-        # ONE batched D2H for the five scalars: separate float() reads
-        # each pay a tunnel round trip on the axon backend (CLAUDE.md)
+        # Same column set as the fused driver (train/cli.py train_cols):
+        # rho/lam_max exist precisely to diagnose Lagrangian collapse
+        # from progress.txt alone.  ONE batched D2H for the scalars:
+        # separate float() reads each pay a tunnel round trip on the
+        # axon backend (CLAUDE.md)
         loss_keys = ["qf1_loss", "qf2_loss", "lf_loss", "policy_loss",
-                     "node_loss"]
+                     "alpha_loss", "alpha", "node_loss", "rho", "lam_max"]
         if uses_barrier(cfg.constraint.kind):
             # NBC-family runs append the barrier-critic TD loss, same
             # column convention as the fused driver (train/cli.py)

@@ -926,8 +926,12 @@ def test_cli_host_loop_mode(tmp_path):
     cols = load_progress(os.path.join(run, "progress.txt"))
     assert len(cols["Episode"]) == 2
     assert np.all(np.isfinite(cols["reward_train"]))
-    # warm-up episode emits the loss columns too (header freezing)
-    assert "qf1_loss" in cols and "policy_loss" in cols
+    # warm-up episode emits the loss columns too (header freezing) —
+    # the FULL fused-driver column set incl. the Lagrangian diagnostics
+    # (rho/lam_max diagnose multiplier collapse from progress.txt alone)
+    for col in ("qf1_loss", "policy_loss", "alpha_loss", "alpha",
+                "rho", "lam_max", "reached"):
+        assert col in cols, col
     # the saved weights round-trip through the eval entry point
     main(["--preset", "unicycle", "--mode", "eval", "--output", run,
           "--max_episode_steps", "20"])
@@ -945,12 +949,34 @@ def test_cli_host_loop_rejects_fused_mode_flags():
                   ["--resume", "x.npz"], ["--checkpoint", "x.npz"],
                   ["--profile_dir", "/tmp/p"], ["--wandb"],
                   ["--tensorboard"], ["--mode", "eval"],
-                  ["--save_best", "reward"]):
+                  ["--save_best", "reward"],
+                  # dependent flags are rejected too, not silently inert
+                  ["--save_best_window", "5"],
+                  ["--save_best_after", "10"],
+                  ["--wandb_project", "proj"]):
         with pytest.raises(SystemExit):
             main(["--preset", "unicycle", "--host_loop"] + extra)
     with pytest.raises(SystemExit, match="curriculum"):
         main(["--preset", "quadrotor", "--host_loop",
               "--spawn_curriculum_episodes", "5"])
+
+
+def test_cli_host_loop_fails_before_run_dir_without_native(tmp_path,
+                                                           monkeypatch):
+    """If the native host data plane cannot be built, --host_loop must
+    fail as a clean SystemExit BEFORE any run dir / config.json is
+    created (the loud-SystemExit-before-output-dirs rule)."""
+    import pytest
+
+    from nlbac_tpu import runtime_native as rn
+    from nlbac_tpu.train.cli import main
+
+    monkeypatch.setattr(rn, "native_available", lambda: False)
+    out = str(tmp_path / "never")
+    with pytest.raises(SystemExit, match="native"):
+        main(["--preset", "unicycle", "--host_loop", "--max_episodes",
+              "1", "--output", out, "--quiet"])
+    assert not os.path.exists(out)
 
 
 def test_cli_host_loop_nbc_barrier_column(tmp_path):
