@@ -21,6 +21,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nlbac_tpu.envs.base import EnvSpec, StepOut
 
@@ -30,7 +31,7 @@ SHOULD_KEEP = 9.5
 KEEP_THRESHOLD = 0.5
 REWARD_GOAL = 2.0
 GAP_MIN = 2.5
-INIT_POS = jnp.array([42.0, 34.0, 26.0, 18.0, 10.0], jnp.float32)
+INIT_POS = np.array([42.0, 34.0, 26.0, 18.0, 10.0], np.float32)
 
 SPEC = EnvSpec(
     name="cars", obs_dim=10, action_dim=1, state_dim=10, lyap_dim=4,

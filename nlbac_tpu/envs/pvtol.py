@@ -24,20 +24,21 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from nlbac_tpu.envs.base import EnvSpec, StepOut
 
-GOAL = jnp.array([4.5, 4.5], jnp.float32)
+GOAL = np.array([4.5, 4.5], np.float32)
 GOAL_SIZE = 3.5
 REWARD_GOAL = 1500.0
-HAZARDS = jnp.array([[-2.5, -2.5], [-2.5, 2.5], [0.0, -3.5], [0.0, 3.5],
-                     [-4.5, 0.0]], jnp.float32)
+HAZARDS = np.array([[-2.5, -2.5], [-2.5, 2.5], [0.0, -3.5], [0.0, 3.5],
+                    [-4.5, 0.0]], np.float32)
 HAZARD_RADIUS = 0.25
 OPERATOR_FOLLOW = 0.7
 OPERATOR_DIST = 1.0
 Y_MIN = -100.0
 Y_MAX = 100.0
-INIT_STATE = jnp.array([-4.5, -4.5, 0.0, 0.0, 0.0, 1.0, -4.5], jnp.float32)
+INIT_STATE = np.array([-4.5, -4.5, 0.0, 0.0, 0.0, 1.0, -4.5], np.float32)
 
 SPEC = EnvSpec(
     name="pvtol", obs_dim=11, action_dim=2, state_dim=6, lyap_dim=11,

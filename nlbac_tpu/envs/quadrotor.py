@@ -32,6 +32,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nlbac_tpu.envs.base import EnvSpec, StepOut
 
@@ -43,14 +44,14 @@ HOVER_T = MASS * GRAVITY / 2.0  # per motor
 KILL_X = 3.0
 KILL_Z = (-0.5, 3.0)
 
-GOAL = jnp.array([1.0, 1.0], jnp.float32)  # (x, z)
+GOAL = np.array([1.0, 1.0], np.float32)  # (x, z)
 GOAL_SIZE = 0.2
 REWARD_GOAL = 250.0
 X_RANGE = (-2.0, 2.0)
 Z_RANGE = (0.05, 2.0)
-OBSTACLE = jnp.array([0.0, 0.75], jnp.float32)
+OBSTACLE = np.array([0.0, 0.75], np.float32)
 OBSTACLE_RADIUS = 0.2
-INIT_STATE = jnp.array([-1.0, 0.0, 0.5, 0.0, 0.0, 0.0], jnp.float32)
+INIT_STATE = np.array([-1.0, 0.0, 0.5, 0.0, 0.0, 0.0], np.float32)
 
 # barrier signals (README.md:190-192)
 BARRIER_OUT_OF_RANGE = -1.0  # D1

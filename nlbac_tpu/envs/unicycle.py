@@ -26,20 +26,21 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from nlbac_tpu.envs.base import EnvSpec, StepOut
 
 L_P = 0.03
 DES_V = 2.5
-GOAL = jnp.array([2.5, 2.5], jnp.float32)
+GOAL = np.array([2.5, 2.5], np.float32)
 GOAL_SIZE = 0.3
 REWARD_GOAL = 500.0
-HAZARDS = 1.5 * jnp.array(
+HAZARDS = 1.5 * np.array(
     [[0.0, 0.0], [0.0, 1.0], [0.0, -1.0], [-1.0, 1.0], [-1.0, -1.0],
-     [1.0, -1.0], [1.0, 1.0]], jnp.float32)
+     [1.0, -1.0], [1.0, 1.0]], np.float32)
 HAZARD_RADIUS = 0.5
-INIT_STATE = jnp.array([-2.5, -2.5, 0.0], jnp.float32)
-INIT_CENTER = jnp.array([-2.47, -2.5], jnp.float32)
+INIT_STATE = np.array([-2.5, -2.5, 0.0], np.float32)
+INIT_CENTER = np.array([-2.47, -2.5], np.float32)
 
 SPEC = EnvSpec(
     name="unicycle", obs_dim=7, action_dim=2, state_dim=3, lyap_dim=2,

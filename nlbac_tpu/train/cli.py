@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="this process's rank in [0, num_processes); "
                         "required with --num_processes > 1. Only rank 0 "
                         "writes logs/checkpoints")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend before any backend init "
+                        "(same flag as the evaluator) — localhost "
+                        "multi-process gangs and dev runs; combine with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=N for N virtual devices per process")
     p.add_argument("--policy", default=None,
                    choices=["Gaussian", "Deterministic"],
                    help="Policy type (reference --policy flag)")
@@ -758,6 +764,11 @@ def _multi_seed_loop(cfg, n_seeds, output_root, quiet, seeds, loggers,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # must land before ANY backend init (incl. init_distributed) —
+        # the env-var route is unreliable under site platform hooks
+        # (CLAUDE.md), the config update is not
+        jax.config.update("jax_platforms", "cpu")
     # Arg-only cross-flag validation runs BEFORE jax.distributed
     # initialization: init_distributed blocks until every process joins,
     # so an invalid combination must fail loudly here, not hang the gang.
@@ -951,7 +962,8 @@ def main(argv=None):
                    f"backend={jax.default_backend()}"
                    + (f" dp={args.dp}" if args.dp > 1 else "")
                    + (f" tp={args.tp}" if args.tp > 1 else "")
-                   + (f" rank={jax.process_index()}/{args.num_processes}"
+                   + (f" rank={jax.process_index()}/{jax.process_count()}"
+                      f" global_devices={jax.device_count()}"
                       if args.num_processes > 1 else "")
                    + f" -> {out}", "green", bold=True))
     train(cfg, output_dir=lk["output_dir"],

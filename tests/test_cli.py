@@ -624,11 +624,13 @@ def test_examples_fit_dynamics_runs():
 
 
 def test_evaluate_import_initializes_no_backend():
-    """Importing nlbac_tpu.utils.evaluate must NOT initialize a JAX
-    backend: the --cpu flag works only if the config update in main()
-    runs before any backend init, so the module's nlbac_tpu imports
-    are deferred (several env modules build jnp constants at import
-    time). Regression test for the silently-ineffective --cpu bug."""
+    """Importing the package — INCLUDING the full train.cli module tree
+    and every env module — must NOT initialize a JAX backend: both
+    --cpu flags (train + evaluate) and the multi-host path
+    (jax.distributed.initialize must run before ANY backend init) rely
+    on it.  Env-module constants are numpy precisely for this reason
+    (r4: module-level jnp.array constants used to pin the backend at
+    import, which broke init_distributed through the CLI)."""
     import subprocess
     import sys
 
@@ -639,17 +641,19 @@ def test_evaluate_import_initializes_no_backend():
         # must not be the axon TPU tunnel (a queued client can hang
         # the subprocess for minutes — CLAUDE.md). The config update
         # itself does not initialize anything, so the first probe
-        # still measures evaluate's import behavior.
+        # still measures import behavior.
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import nlbac_tpu.utils.evaluate\n"
+        "import nlbac_tpu.train.cli\n"
+        "import nlbac_tpu.envs.quadrotor\n"
         "from jax._src import xla_bridge\n"
         # hard attribute access: if a jax upgrade moves the private
         # _backends cache this test must FAIL (not pass vacuously)
         "b = list(xla_bridge._backends)\n"
         "assert not b, f'backend initialized at import: {b}'\n"
         # positive control: the probe itself must detect inits —
-        # importing an env module (module-level jnp constants) flips it
-        "import nlbac_tpu.envs.quadrotor\n"
+        # an actual jnp computation flips it
+        "import jax.numpy as jnp; jnp.zeros(1)\n"
         "assert list(xla_bridge._backends), 'probe cannot see inits'\n"
         "print('clean')\n"
     )

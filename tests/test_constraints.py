@@ -357,6 +357,53 @@ def test_metrics_sink_wandb_emission_path(monkeypatch):
     assert calls["finish"] == 1
 
 
+def test_metrics_sink_wandb_offline_mode(monkeypatch):
+    """WANDB_MODE=offline is the supported no-egress wandb mode
+    (VERDICT r3 item 6; wandb is not installed in this image): the sink
+    must call plain wandb.init/log/finish and NOTHING network-flavored
+    (no run URL access, no api/login attributes), so wandb's own
+    offline event recording works unchanged.  The stub here mimics an
+    offline wandb: it raises on any attribute the offline mode cannot
+    serve."""
+    import sys
+    import types
+
+    from nlbac_tpu.train.logging import MetricsSink
+
+    monkeypatch.setenv("WANDB_MODE", "offline")
+    seen = {"mode": None, "logged": []}
+
+    class _OfflineRun:
+        # offline runs have no URL / no network state; anything beyond
+        # log/finish must blow up the test
+        def log(self, metrics):
+            seen["logged"].append(dict(metrics))
+
+        def finish(self):
+            pass
+
+        def __getattr__(self, name):
+            raise AssertionError(
+                f"sink touched wandb run attribute {name!r}, which an "
+                f"offline run cannot serve")
+
+    stub = types.ModuleType("wandb")
+
+    def _init(project=None, config=None):
+        import os
+        seen["mode"] = os.environ.get("WANDB_MODE")
+        return _OfflineRun()
+
+    stub.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    sink = MetricsSink(None, use_wandb=True, wandb_project="off")
+    sink.log({"Episode Reward": 1.0})
+    sink.close()
+    assert seen["mode"] == "offline"  # env reaches wandb.init untouched
+    assert seen["logged"] == [{"Episode Reward": 1.0}]
+
+
 def test_ratio_uses_cost_limit_shifted_means():
     """The balance ratio divides the cost_limit-SHIFTED means, while
     multiplier ascent uses the RAW means (UNI/sac_cbf_clf/sac_cbf_clf.py:
