@@ -368,6 +368,15 @@ def make_tp_episode_runner(cfg: NLBACConfig, tp: int, dp: int = 1,
     real hardware — the mode exists so grown models shard without code
     changes, and its numerics are certified == single-device (f32
     tolerance) in tests/test_parallel.py and dryrun_multichip.
+    MEASURED grown-width story (r4, one v5e chip, scripts/
+    bench_grown_width.py, PARITY.md "Grown widths"): hidden 512 is
+    FREE single-chip (0.99x the 256-width steps/s — the program is
+    latency-bound, not FLOP-bound, at these widths) and hidden 1024
+    costs 0.56x; state memory is 6.6 / 24.2 / 93.9 MB at 256/512/1024
+    — far under one chip's HBM, so tp's memory case begins at widths
+    ~an order of magnitude beyond the reference (state ~1.5 GB at
+    hidden 4096), and below that single-chip (or dp/seed-parallel)
+    is always the right tool.
 
     ``dp > 1`` adds batch sharding over the 'dp' axis of the same mesh
     (the Megatron DP x TP layout): batches shard over 'dp' and replicate
