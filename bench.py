@@ -222,6 +222,40 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra[f"{preset}_steps_per_sec"] = f"error: {type(e).__name__}"
 
+    # host-loop architecture throughput (VERDICT r3 item 2): the cars
+    # workload through the host-loop training mode (host gym API +
+    # native C++ rings + per-update device dispatch). An ARCHITECTURE
+    # number: the gap vs the fused cars_steps_per_sec above is the
+    # per-step dispatch/round-trip cost the fused design eliminates.
+    try:
+        from nlbac_tpu.runtime_native import native_available
+        if not native_available():
+            extra["host_loop_cars_steps_per_sec"] = "skipped (no native)"
+        elif _elapsed() > SOFT_BUDGET_S:
+            extra["host_loop_cars_steps_per_sec"] = "skipped (time budget)"
+        else:
+            from nlbac_tpu.config import get_config
+            from nlbac_tpu.envs import as_host_env, get_env
+            from nlbac_tpu.train.driver import build_step_kwargs
+            from nlbac_tpu.train.host_loop import train_host_env
+
+            _hcfg = get_config("cars")
+            _hcfg = dataclasses.replace(
+                _hcfg, env=dataclasses.replace(_hcfg.env,
+                                               max_episode_steps=300),
+                sac=dataclasses.replace(_hcfg.sac, start_steps=200))
+            _hmod = get_env("cars")
+            _had = as_host_env(_hmod, seed=0,
+                               max_episode_steps=300,
+                               step_kwargs=build_step_kwargs(_hcfg, _hmod))
+            _, _hist = train_host_env(_hcfg, _had, episodes=3, seed=0)
+            _hrates = sorted(r["episode_steps"] / r["wall_s"]
+                             for r in _hist[1:])  # row 0 = compile
+            extra["host_loop_cars_steps_per_sec"] = round(
+                _hrates[len(_hrates) // 2], 2)
+    except Exception as e:  # noqa: BLE001
+        extra["host_loop_cars_steps_per_sec"] = f"error: {type(e).__name__}"
+
     # serving latency of the deployment artifact (utils/export_policy):
     # batch-64 deterministic head through jax.export round-trip —
     # dispatch-dominated through the tunnel, so this measures the

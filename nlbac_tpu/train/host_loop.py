@@ -32,6 +32,7 @@ consumer of the native host data plane.
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional
 
 import jax
@@ -128,6 +129,7 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
     total_steps = 0
     history: List[dict] = []
     for i_episode in range(episodes):
+        t_ep = time.perf_counter()
         # copy=True: a gym-style env may return (and later mutate in
         # place) its internal state buffer; stored transitions must not
         # alias it or rec["obs"] silently becomes rec["next_obs"]
@@ -251,7 +253,10 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             row.update({k: float(v) for k, v in fetched.items()})
         else:
             row.update({k: 0.0 for k in loss_keys})
-        history.append(row)
+        # wall_s rides the RETURNED history only (bench/throughput
+        # callers), never the logger columns — progress.txt stays
+        # fused-driver-compatible
+        history.append(dict(row, wall_s=time.perf_counter() - t_ep))
         if logger is not None:
             logger.store(**row)
             for k in row:
