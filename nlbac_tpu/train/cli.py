@@ -849,6 +849,19 @@ def main(argv=None):
                          args.process_id)
     cfg = config_from_args(args)
     enable_compilation_cache()
+    if (cfg.node.solver == "dopri5" and not args.host_loop
+            and args.mode == "train"):
+        # the adaptive-step while_loop nested inside the fused episode
+        # program reproducibly crashes the axon remote compiler/device
+        # (PARITY.md "NODE solver stack"); the same update runs fine
+        # dispatched per-update. Warn (not error): other backends
+        # compile the fused combination fine (CPU does).
+        print(colorize(
+            "note: --node_solver dopri5 inside the FUSED episode "
+            "program is known to crash the axon TPU backend (adaptive "
+            "while_loop nesting); if this run dies with 'TPU device "
+            "error', use --host_loop (same dopri5 update, dispatched "
+            "per-update — trains on the TPU) or --cpu", "yellow"))
     if args.mode == "eval":
         # evaluate reference-layout weights from --output (which then
         # points at a run directory, not a parent folder)
