@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""HEAD re-stamp: fresh seed-108 runs of all five reference presets,
+bit-compared (shared columns, %.6g cell strings) against the r10
+multi-seed archives (results/r10/*_seeds/s108/progress.txt).
+
+The standing regression gate (PARITY.md round-11/13 certifications):
+a zero-mismatch stamp proves the round's changes did not perturb the
+device training program.  Run on the TPU from the repo root:
+
+    python scripts/head_restamp.py [outdir]       # run + compare
+    python scripts/head_restamp.py --compare-only [outdir]
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PRESETS = {  # preset -> (episodes, archive)
+    "unicycle": (200, "results/r10/unicycle_seeds/s108/progress.txt"),
+    "cars": (200, "results/r10/cars_seeds/s108/progress.txt"),
+    "pvtol": (400, "results/r10/pvtol_seeds/s108/progress.txt"),
+    "nbc_unicycle": (200,
+                     "results/r10/nbc_unicycle_seeds/s108/progress.txt"),
+    "nbc_pvtol": (210, "results/r10/nbc_pvtol_seeds/s108/progress.txt"),
+}
+
+
+def load_rows(path):
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        rows = [line.rstrip("\n").split("\t") for line in f]
+    return header, rows
+
+
+def compare(new_path, archive_path):
+    """Return (mismatches, cells) over SHARED columns, exact string
+    compare (both files carry %.6g-formatted cells)."""
+    h1, r1 = load_rows(new_path)
+    h2, r2 = load_rows(archive_path)
+    shared = [c for c in h2 if c in h1]
+    i1 = {c: h1.index(c) for c in shared}
+    i2 = {c: h2.index(c) for c in shared}
+    if len(r1) != len(r2):
+        return -1, 0, f"row count {len(r1)} vs {len(r2)}"
+    bad = 0
+    cells = 0
+    first = None
+    for a, b in zip(r1, r2):
+        for c in shared:
+            cells += 1
+            if a[i1[c]] != b[i2[c]]:
+                bad += 1
+                if first is None:
+                    first = (c, a[i1[c]], b[i2[c]])
+    return bad, cells, first
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outdir = args[0] if args else "results/r4/restamp"
+    run = "--compare-only" not in sys.argv
+    failures = 0
+    for preset, (eps, archive) in PRESETS.items():
+        out = os.path.join(outdir, preset)
+        if run:
+            r = subprocess.run(
+                [sys.executable, "train.py", "--preset", preset,
+                 "--seed", "108", "--max_episodes", str(eps),
+                 "--output", out, "--quiet"],
+                cwd=REPO, capture_output=True, text=True, timeout=3600)
+            if r.returncode != 0:
+                print(f"{preset}: RUN FAILED\n{r.stdout[-1500:]}"
+                      f"{r.stderr[-1000:]}")
+                failures += 1
+                continue
+        hits = subprocess.run(
+            ["find", out, "-name", "progress.txt"],
+            capture_output=True, text=True).stdout.split()
+        if not hits:
+            print(f"{preset}: no progress.txt under {out}")
+            failures += 1
+            continue
+        bad, cells, first = compare(hits[0], os.path.join(REPO, archive))
+        status = "OK" if bad == 0 else f"FAIL first={first}"
+        if bad != 0:
+            failures += 1
+        print(f"{preset}: {bad}/{cells} cell mismatches {status}",
+              flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
