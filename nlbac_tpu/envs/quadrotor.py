@@ -111,7 +111,9 @@ def ground_probe_obs() -> jnp.ndarray:
         (5, -0.5), (5, 0.5),     # omega: pre-tumble rates
     ]
     for idx, dv in offsets:
-        rows.append(INIT_STATE.at[idx].add(dv))
+        # INIT_STATE is a host numpy constant (import must not touch a
+        # backend); build the jittable variant here
+        rows.append(jnp.asarray(INIT_STATE).at[idx].add(dv))
     return jnp.stack([get_obs(x) for x in rows])
 
 
