@@ -9,6 +9,7 @@ device training program.  Run on the TPU from the repo root:
 
     python scripts/head_restamp.py [outdir]       # run + compare
     python scripts/head_restamp.py --compare-only [outdir]
+    python scripts/head_restamp.py --only=preset [outdir]
 """
 import os
 import subprocess
@@ -23,6 +24,12 @@ PRESETS = {  # preset -> (episodes, archive)
     "nbc_unicycle": (200,
                      "results/r10/nbc_unicycle_seeds/s108/progress.txt"),
     "nbc_pvtol": (210, "results/r10/nbc_pvtol_seeds/s108/progress.txt"),
+    # sixth workload (our design — the reference ships an empty
+    # submodule): preset-default budget, archived at the r4 HEAD.
+    # The stamp gates DETERMINISM, not training quality (seed 108 is a
+    # take-off-unlucky quadrotor seed; the preset's training story
+    # lives in PARITY "Quadrotor").
+    "quadrotor": (210, "results/r4/quadrotor_stamp/s108/progress.txt"),
 }
 
 
@@ -60,8 +67,12 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     outdir = args[0] if args else "results/r4/restamp"
     run = "--compare-only" not in sys.argv
+    only = [a.split("=", 1)[1] for a in sys.argv[1:]
+            if a.startswith("--only=")]
     failures = 0
     for preset, (eps, archive) in PRESETS.items():
+        if only and preset not in only:
+            continue
         out = os.path.join(outdir, preset)
         if run:
             r = subprocess.run(
