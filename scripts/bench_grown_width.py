@@ -12,7 +12,7 @@ HBM footprint (params + targets + 2 Adam moments, reported here)
 approaches chip capacity.
 
 Run on the TPU from the repo root (no PYTHONPATH — see CLAUDE.md):
-    python scripts/bench_grown_width.py [episodes]
+    python scripts/bench_grown_width.py [episodes] [w1,w2,...]
 """
 import dataclasses
 import os
@@ -38,7 +38,8 @@ def main():
 
     episodes = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     steps = 400
-    widths = (256, 512, 1024)
+    widths = (tuple(int(w) for w in sys.argv[2].split(","))
+              if len(sys.argv) > 2 else (256, 512, 1024))
     base = get_config("unicycle")
     base = dataclasses.replace(
         base, env=dataclasses.replace(base.env, max_episode_steps=steps),
@@ -71,11 +72,11 @@ def main():
                   flush=True)
 
     print()
-    ref = statistics.median(results[256])
+    ref = statistics.median(results[widths[0]])
     for w in widths:
         med = statistics.median(results[w])
         print(f"hidden={w:5d}: median {med:8.1f} steps/s "
-              f"({med / ref:5.3f}x of 256) | TrainState "
+              f"({med / ref:5.3f}x of {widths[0]}) | TrainState "
               f"{mem[w] / 1e6:7.2f} MB "
               f"(tp=8 shards the hidden-x-hidden leaves to "
               f"{mem[w] / 8 / 1e6:.2f}+ MB/device)")
