@@ -58,6 +58,9 @@ def _load() -> ctypes.CDLL:
     lib.rb_size.argtypes = [ctypes.c_void_p]
     lib.rb_total.restype = i64
     lib.rb_total.argtypes = [ctypes.c_void_p]
+    up = ctypes.POINTER(u64)
+    lib.rb_snapshot.argtypes = [ctypes.c_void_p, fp, up]
+    lib.rb_restore.argtypes = [ctypes.c_void_p, fp, up]
     lib.tsv_create.restype = ctypes.c_void_p
     lib.tsv_create.argtypes = [ctypes.c_char_p]
     lib.tsv_destroy.argtypes = [ctypes.c_void_p]
@@ -113,6 +116,27 @@ class HostReplay:
     @property
     def total(self) -> int:
         return self._lib.rb_total(self._h)
+
+    def snapshot(self) -> tuple:
+        """(data, meta): full ring contents + [position, size, total,
+        rng_s0, rng_s1] — host-loop checkpointing (train/host_loop.py).
+        Restoring both keeps the data distribution AND the native
+        sampler's stream bit-reproducible across a resume."""
+        data = np.empty((self.capacity, self.record_size), np.float32)
+        meta = np.empty(5, np.uint64)
+        self._lib.rb_snapshot(self._h, _as_float_ptr(data),
+                              meta.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_uint64)))
+        return data, meta
+
+    def restore(self, data: np.ndarray, meta: np.ndarray) -> None:
+        data = np.ascontiguousarray(data, np.float32)
+        assert data.shape == (self.capacity, self.record_size), \
+            (data.shape, self.capacity, self.record_size)
+        meta = np.ascontiguousarray(meta, np.uint64)
+        self._lib.rb_restore(self._h, _as_float_ptr(data),
+                             meta.ctypes.data_as(
+                                 ctypes.POINTER(ctypes.c_uint64)))
 
     def __len__(self) -> int:
         return self.size

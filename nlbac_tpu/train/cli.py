@@ -804,14 +804,19 @@ def main(argv=None):
             raise SystemExit(
                 "--host_loop is single-seed, single-device: --n_seeds/"
                 "--dp/--tp/--num_processes are fused-device-mode flags")
-        for flag in ("resume", "checkpoint", "profile_dir", "wandb",
-                     "tensorboard", "save_best",
-                     # dependent flags whose base flag is rejected above:
-                     # silently ignoring them would break the mode's
-                     # loud-failure principle just the same
-                     "save_best_window", "save_best_after",
-                     "wandb_project"):
-            if getattr(args, flag, None):
+        # --wandb/--tensorboard/--checkpoint/--resume are SUPPORTED in
+        # host-loop mode since r5 (the reference's own host loop saves
+        # mid-run and emits wandb per episode, UNI/main.py:153-165);
+        # only genuinely-inapplicable flags remain rejected.  Presence
+        # flags check truthiness; value-taking flags check `is not
+        # None` so an explicit falsy value (--save_best_window 0) still
+        # fails loudly (advisor r4).
+        if args.save_best:
+            raise SystemExit("--save_best is a fused-device-mode "
+                             "feature; it is not supported with "
+                             "--host_loop")
+        for flag in ("profile_dir", "save_best_window", "save_best_after"):
+            if getattr(args, flag, None) is not None:
                 raise SystemExit(f"--{flag} is a fused-device-mode "
                                  f"feature; it is not supported with "
                                  f"--host_loop")
@@ -903,12 +908,24 @@ def main(argv=None):
                                  data_dir=out)
         logger = EpochLogger(lk["output_dir"], quiet=args.quiet)
         logger.save_config(cfg)
+        sink = MetricsSink(
+            logger=None,  # the EpochLogger row is emitted by the loop
+            use_wandb=bool(args.wandb),
+            wandb_project=args.wandb_project or cfg.run.exp_name,
+            wandb_config=cfg.to_dict(),
+            tensorboard_dir=(os.path.join(lk["output_dir"], "tb")
+                             if args.tensorboard else None)
+        ) if (args.wandb or args.tensorboard) else None
+        checkpoint_path = args.checkpoint or (
+            os.path.join(lk["output_dir"], "checkpoint.npz"))
         print(colorize(f"NLBAC-TPU preset={args.preset} "
                        f"env={cfg.env.name} "
                        f"backend={jax.default_backend()} host-loop "
                        f"-> {out}", "green", bold=True))
-        ts, _history = train_host_env(cfg, adapter, logger=logger,
-                                      quiet=args.quiet)
+        ts, _history = train_host_env(
+            cfg, adapter, logger=logger, quiet=args.quiet, sink=sink,
+            weights_dir=lk["output_dir"],
+            checkpoint_path=checkpoint_path, resume_path=args.resume)
         save_model_weights(lk["output_dir"], ts,
                            include_barrier=uses_barrier(
                                cfg.constraint.kind))

@@ -12,18 +12,34 @@ anyway.  The replay rings live in the NATIVE C++ host data plane
   per-record Python objects — the reference keeps a Python list of
   tuples, UNI/sac_cbf_clf/replay_memory.py:4-28);
 - samples are native xorshift gathers straight into a caller buffer
-  that ships to the device as ONE ``jax.device_put`` per update.
+  that ships to the device as ONE ``jax.device_put`` per step.
 
-Device work is two jitted calls per env step — action selection (fused
-with the supervisor's pre-action transition) and (buffer-gated)
-``agent.update_from_batch`` — plus, for supervised presets, one more for
-the post-step trigger machine (the SAME pure state machine the fused
-device program runs, train/supervisor.py).  The NODE batch is only
-materialized (sampled + H2D-transferred) on the updates where the
-interval-gated fit actually runs — off-cycle updates feed a cached
-device-resident zero batch into the ``lax.cond``'s dead branch (the
-host mirrors the ``updates % interval`` counter, so the branch is
-provably not taken).
+The per-step device traffic is the mode's cost model (the tunneled
+backend pays ~30 ms per blocking round trip — CLAUDE.md), so the loop
+is built around ONE fused jitted program per step:
+
+- the whole ``updates_per_step`` loop, the supervisor's trigger
+  machines, AND action selection run in a single dispatch;
+- every host-originating input rides ONE ``jax.device_put`` — the U
+  update batches as one raw ``(U, batch, width)`` row array (unpacked
+  on device), the NODE rows only on fit-due steps (off-cycle steps
+  reuse a device-resident zero buffer feeding the ``lax.cond``'s dead
+  branch), and all scalars/vectors (obs, counters, flags, the previous
+  step's supervisor inputs) packed into one float32 control vector —
+  the same pack-the-record lesson as the device replay (+73%);
+- the only BLOCKING transfer per step is the action fetch (the env
+  cannot step without it); per-step RNG derives from ``fold_in`` of a
+  device-resident run key instead of per-step ``jax.random.split``
+  dispatches;
+- the supervisor's post-step machine for step t is folded into step
+  t+1's dispatch (the state is only read at t+1's pre-action), so it
+  costs zero extra dispatches; the final step's post-step is dropped —
+  the state is re-initialized at the next episode anyway.
+
+Backup-controller semantics are the device driver's: while the backup
+controller is active, transitions skip the RL ring but always reach the
+NODE ring, and the backup policy trains inside ``update_from_batch``
+(UNI/main.py:77-104).
 
 For pure-JAX envs the fused episode program (train/driver.py) is the
 fast path; this module exists for host-env workloads and as the product
@@ -69,19 +85,105 @@ class HostRings:
         return replay_lib.unpack_rows(self.layout, rows)
 
 
+def save_host_checkpoint(path: str, ts, rings: HostRings, run_key,
+                         updates: int, total_steps: int, i_episode: int,
+                         async_writer=None) -> None:
+    """Full host-loop training state: train state + BOTH native ring
+    snapshots (contents, counters, sampler RNG) + step counters.  Reuses
+    the fused checkpoint format (train/checkpoint.py npz+manifest) with
+    the ring snapshots as the replay sections, so the same atomic-write
+    machinery serves both modes."""
+    from nlbac_tpu.train.checkpoint import save_checkpoint
+
+    d1, m1 = rings.rl.snapshot()
+    d2, m2 = rings.node.snapshot()
+    args = (path, ts, {"data": d1, "meta": m1},
+            {"data": d2, "meta": m2}, run_key, total_steps, i_episode)
+    extra = {"updates": updates, "mode": "host_loop"}
+    if async_writer is not None:
+        async_writer.save(*args, extra=extra)
+    else:
+        save_checkpoint(*args, extra=extra)
+
+
+def restore_host_checkpoint(path: str, ts_template, rings: HostRings):
+    """Restore a host-loop checkpoint IN PLACE into ``rings``; returns
+    ``(ts, run_key, updates, total_steps, i_episode)``.  Host-specific
+    restore: the ring buffers stay on the host (the fused-mode
+    ``restore_checkpoint`` device_puts every section — ~90MB of ring
+    data would round-trip through the TPU for nothing)."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode())
+        if manifest.get("extra", {}).get("mode") != "host_loop":
+            raise ValueError(
+                f"{path} is not a host-loop checkpoint (use --resume "
+                f"without --host_loop for fused-mode checkpoints)")
+        specs = manifest["sections"]["train_state"]
+        leaves = [z[f"train_state.{i}"] for i in range(len(specs))]
+        t_leaves, treedef = jax.tree.flatten(ts_template)
+        if len(t_leaves) != len(leaves):
+            raise ValueError(
+                f"checkpoint train_state has {len(leaves)} leaves but "
+                f"the current config expects {len(t_leaves)} — was the "
+                f"config changed since saving?")
+        for i, (got, want) in enumerate(zip(leaves, t_leaves)):
+            want_shape = tuple(np.shape(want))
+            want_dtype = np.dtype(getattr(want, "dtype", None)
+                                  or np.asarray(want).dtype)
+            if tuple(got.shape) != want_shape or got.dtype != want_dtype:
+                raise ValueError(
+                    f"checkpoint train_state leaf {i}: {got.shape}/"
+                    f"{got.dtype} != expected {want_shape}/{want_dtype}")
+        # jax.tree flattens dicts in sorted-key order: ["data", "meta"]
+        rings.rl.restore(z["rl_replay.0"], z["rl_replay.1"])
+        rings.node.restore(z["node_replay.0"], z["node_replay.1"])
+        counters = z["counters"]
+        key = z["key"].copy()
+        updates = int(manifest["extra"]["updates"])
+    # one batched H2D for the device-resident state (per-leaf puts each
+    # pay a tunnel round trip — CLAUDE.md)
+    ts, key = jax.device_put((jax.tree.unflatten(treedef, leaves), key))
+    return ts, key, updates, int(counters[0]), int(counters[1])
+
+
 def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
                    seed: Optional[int] = None, logger=None,
-                   quiet: bool = True) -> tuple:
+                   quiet: bool = True, on_episode_end=None, sink=None,
+                   weights_dir: Optional[str] = None,
+                   checkpoint_path: Optional[str] = None,
+                   resume_path: Optional[str] = None) -> tuple:
     """Train against a :class:`HostEnvAdapter` with the native host data
     plane.  Returns ``(ts, per_episode_metrics)``.
 
+    Durability/observability (the reference host loop's own features,
+    VERDICT r4 item 3):
+
+    - ``weights_dir`` — reference-layout weights saved mid-run at the
+      ``max_episodes / save_every_fraction`` cadence (UNI/main.py:
+      153-154 saves at ``/2``; CARS/main.py:125-126 at ``/6``) and at
+      the final episode;
+    - ``checkpoint_path`` — FULL state (train state, both native rings
+      incl. sampler RNG, counters) written asynchronously at the same
+      cadence; ``resume_path`` restores it and continues bit-for-bit
+      for shim-wrapped envs (the fold_in RNG scheme needs only the
+      restored counters; the reset stream is replayed to re-sync the
+      env chain — an external gym env's private RNG state is the one
+      thing a host-side checkpoint cannot capture);
+    - ``sink`` — a :class:`nlbac_tpu.train.logging.MetricsSink`
+      receiving the reference's wandb-channel metric dict per episode
+      (UNI/main.py:157-165);
+    - ``on_episode_end(i_episode, ts, row)`` — optional host callback
+      after each episode's metrics row is materialized.
+
     Backup-controller supervision runs the SAME pure state machines as
     the fused device program (train/supervisor.py — trap / cars_gap /
-    pvtol), called per step as two small jitted functions; while the
-    backup controller is active, transitions skip the RL ring but always
-    reach the NODE ring, and the backup policy trains inside
-    ``update_from_batch`` exactly as on-device (the reference's host-loop
-    semantics, UNI/main.py:77-104)."""
+    pvtol), fused into the per-step program; while the backup controller
+    is active, transitions skip the RL ring but always reach the NODE
+    ring, and the backup policy trains inside ``update_from_batch``
+    exactly as on-device (the reference's host-loop semantics,
+    UNI/main.py:77-104)."""
     if cfg.supervisor.kind != "none" and not cfg.constraint.use_backup:
         # Same loud failure as the device driver: the supervisor would
         # engage a backup controller that is never trained or sampled.
@@ -89,46 +191,141 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             f"supervisor.kind={cfg.supervisor.kind!r} requires "
             f"constraint.use_backup=True (got False): the backup "
             f"controller it would engage is never trained or sampled")
-    agent = make_agent(cfg, env_override=adapter)
     scfg, ncfg = cfg.sac, cfg.node
+    if scfg.updates_per_step < 1:
+        # advisor r4: updates_per_step=0 used to NameError mid-episode
+        raise ValueError(
+            f"updates_per_step must be >= 1 (got {scfg.updates_per_step})")
+    agent = make_agent(cfg, env_override=adapter)
     seed = cfg.run.seed if seed is None else seed
     episodes = cfg.run.max_episodes if episodes is None else episodes
     max_steps = cfg.env.max_episode_steps
     dt = cfg.env.dt
+    U = scfg.updates_per_step
+    B = scfg.batch_size
+    obs_dim = adapter.SPEC.obs_dim
+    lyap_dim = adapter.SPEC.lyap_dim
 
     key = jax.random.PRNGKey(seed)
     key, kinit = jax.random.split(key)
     ts = create_train_state(cfg, kinit)
+    # device-resident base key for the whole run; per-step keys derive
+    # via fold_in(run_key, total_step) INSIDE the program (a host-level
+    # jax.random.split is itself a dispatched device program — U+1 of
+    # them per step in the pre-r5 loop)
+    run_key, _ = jax.random.split(key)
     rings = HostRings(cfg, adapter.SPEC, seed=seed)
 
-    # Action selection fused with the supervisor's pre-action transition
-    # (backup-flag + timer bumps) so the pair costs ONE device dispatch;
-    # with kind='none' pre_action returns a literal False and the backup
-    # MLP apply is dead code to XLA — identical to the device driver.
     from nlbac_tpu.train.supervisor import (init_supervisor, post_step,
                                             pre_action)
     sup_cfg = cfg.supervisor
 
-    @jax.jit
-    def select(ts, obs, k, warmup, sup, start):
-        use_backup, sup = pre_action(sup_cfg, sup, start)
-        action = agent.select_action(ts, obs, k, warmup, use_backup)
+    # ---- the packed control vector (ONE host->device array per step) --
+    # [0]=total_step  [1]=i_episode  [2]=warmup  [3]=start_backup
+    # [4]=has_prev    [5]=prev_episode_steps
+    # then: obs | prev_obs | prev_next_obs | prev_lyap_t1 | prev_reached
+    CTL = 6 + 3 * obs_dim + lyap_dim + 1
+
+    def _unpack_ctl(ctl):
+        o = 6
+        obs = ctl[o:o + obs_dim]; o += obs_dim
+        pobs = ctl[o:o + obs_dim]; o += obs_dim
+        pnext = ctl[o:o + obs_dim]; o += obs_dim
+        plyap = ctl[o:o + lyap_dim]; o += lyap_dim
+        preached = ctl[o]
+        return obs, pobs, pnext, plyap, preached
+
+    def _advance_supervisor(sup, ctl):
+        """Fold the PREVIOUS step's post-step machine + this step's
+        pre-action transition; returns (use_backup, sup)."""
+        if sup_cfg.kind == "none":
+            return pre_action(sup_cfg, sup, jnp.array(True))
+        start = ctl[3] > 0.5
+        has_prev = ctl[4] > 0.5
+        obs, pobs, pnext, plyap, preached = _unpack_ctl(ctl)
+        zero4 = jnp.zeros(4, jnp.float32)
+        out_prev = StepOut(
+            obs=pnext, reward=jnp.float32(0), constraint=jnp.float32(0),
+            lyap_t=jnp.zeros(lyap_dim, jnp.float32), lyap_t1=plyap,
+            barrier_signal=jnp.float32(0), done=jnp.array(False),
+            goal_met=jnp.array(False), reached=preached,
+            num_violations=jnp.float32(0), safety_cost=jnp.float32(0),
+            viol_breakdown=zero4, cost_breakdown=zero4)
+        posted = post_step(sup_cfg, sup, pobs, out_prev,
+                           ctl[5].astype(jnp.int32), start)
+        # masked select, not lax.cond: the first step of an episode has
+        # no prev and must leave the freshly-initialized state untouched
+        sup = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b),
+                           posted, sup)
+        return pre_action(sup_cfg, sup, start)
+
+    def _select(ts, ctl, sup, run_key):
+        use_backup, sup = _advance_supervisor(sup, ctl)
+        obs = _unpack_ctl(ctl)[0]
+        k_step = jax.random.fold_in(run_key, ctl[0].astype(jnp.int32))
+        k_act = jax.random.fold_in(k_step, U)
+        action = agent.select_action(ts, obs, k_act, ctl[2] > 0.5,
+                                     use_backup)
         return action, use_backup, sup
 
-    sup_post = (jax.jit(lambda sup, obs_prev, out, steps, start:
-                        post_step(sup_cfg, sup, obs_prev, out, steps,
-                                  start))
-                if sup_cfg.kind != "none" else None)
-    update = jax.jit(agent.update_from_batch)
-    # off-cycle NODE-fit updates feed this dead-branch placeholder: same
-    # aval as a real node batch, resident on device once, zero H2D cost
-    zero_node = jax.device_put(rings.unpack(
-        np.zeros((ncfg.max_batch, rings.width), np.float32)))
+    @jax.jit
+    def step_select(ts, ctl, sup, run_key):
+        """Warm-up phase program (replay below the update gate)."""
+        return _select(ts, ctl, sup, run_key)
+
+    @jax.jit
+    def step_train(ts, ctl, rl_rows, node_rows, sup, run_key):
+        """Steady-state program: ALL updates_per_step updates + the
+        supervisor machines + action selection in ONE dispatch.
+
+        ``rl_rows``: (U, B, width) raw packed rows, unpacked on device.
+        ``node_rows``: (max_batch, width) — freshly-sampled rows on
+        fit-due steps, the device-resident zero buffer otherwise (the
+        fit ``lax.cond`` inside ``update_from_batch`` is gated by the
+        train-state's own update counter, so the zero buffer provably
+        feeds a dead branch).  When multiple updates of one step are
+        fit-due (update_interval < updates_per_step — no reference
+        preset does this), they share one sampled NODE batch."""
+        i_ep = ctl[1].astype(jnp.int32)
+        k_step = jax.random.fold_in(run_key, ctl[0].astype(jnp.int32))
+        node_batch = rings.unpack(node_rows)
+        m = None
+        for j in range(U):  # static unroll, same as the device driver
+            batch = rings.unpack(rl_rows[j])
+            kj = jax.random.fold_in(k_step, j)
+            ts, m = agent.update_from_batch(ts, batch, node_batch, kj,
+                                            i_ep)
+        action, use_backup, sup = _select(ts, ctl, sup, run_key)
+        return ts, action, use_backup, sup, m
+
+    # off-cycle NODE-fit steps feed this dead-branch placeholder: same
+    # aval as a real node row block, resident on device once, zero H2D
+    zero_node_rows = jax.device_put(
+        np.zeros((ncfg.max_batch, rings.width), np.float32))
 
     updates = 0
     total_steps = 0
+    start_episode = 0
+    ckpt_writer = None
+    if resume_path is not None:
+        ts, run_key, updates, total_steps, ep0 = restore_host_checkpoint(
+            resume_path, ts, rings)
+        start_episode = ep0 + 1
+        # replay the reset stream: each completed episode consumed one
+        # reset, so fast-forwarding puts a freshly-constructed adapter's
+        # RNG chain exactly where an uninterrupted run would be (exact
+        # for the host_shim path; an external gym env's private RNG is
+        # the one thing a host-side checkpoint cannot capture)
+        for _ in range(start_episode):
+            adapter.host_reset()
+    if checkpoint_path is not None:
+        from nlbac_tpu.train.checkpoint import AsyncCheckpointer
+        ckpt_writer = AsyncCheckpointer()
+    # reference cadence (UNI/main.py:153-154: /2; CARS/main.py:125-126:
+    # /6 — config.run.save_every_fraction carries the per-variant value)
+    save_every = max(1, episodes // cfg.run.save_every_fraction)
     history: List[dict] = []
-    for i_episode in range(episodes):
+    for i_episode in range(start_episode, episodes):
         t_ep = time.perf_counter()
         # copy=True: a gym-style env may return (and later mutate in
         # place) its internal state buffer; stored transitions must not
@@ -138,43 +335,58 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         ep_steps = 0
         ep_backup_steps = 0
         goal_met = False
-        last_train = {}
+        last_train = None
         done = False
         sup = init_supervisor(sup_cfg)
+        prev = None  # (obs_prev, next_obs, lyap_t1, reached, ep_steps)
         # reference gating: the trigger machines only arm after the
         # enable episode (UNI/main.py:109 `i_episode > 3`)
-        start_backup = np.bool_(i_episode >= sup_cfg.enable_after_episodes)
+        start_backup = float(i_episode >= sup_cfg.enable_after_episodes)
         while not done:
-            # --- gradient updates (gate: len(memory) > batch_size) ----
-            if rings.rl.size > scfg.batch_size:
-                for _ in range(scfg.updates_per_step):
-                    key, kupd = jax.random.split(key)
-                    batch = rings.unpack(rings.rl.sample(scfg.batch_size))
-                    # mirror the device gate exactly (update.py do_node:
-                    # interval AND episode limit) so the off-cycle zero
-                    # batch provably feeds a dead lax.cond branch
-                    node_due = (updates % ncfg.update_interval == 0
-                                and (ncfg.fit_episode_limit is None
-                                     or i_episode <= ncfg.fit_episode_limit))
-                    if node_due:
-                        node_batch = rings.unpack(
-                            rings.node.sample(ncfg.max_batch))
-                    else:  # dead lax.cond branch — skip sample + H2D
-                        node_batch = zero_node
-                    ts, m = update(ts, batch, node_batch, kupd,
-                                   jnp.int32(i_episode))
-                    updates += 1
-                last_train = m
-
-            # --- action selection + host env step ---------------------
-            key, kact = jax.random.split(key)
             warmup = total_steps < scfg.start_steps
-            action_d, use_backup_d, sup = select(ts, jnp.asarray(obs),
-                                                 kact, jnp.array(warmup),
-                                                 sup, start_backup)
-            # ONE synced D2H for the pair (the action fetch already
-            # blocks; the backup flag rides along instead of paying its
-            # own tunnel round trip)
+            ctl = np.zeros(CTL, np.float32)
+            ctl[0] = total_steps
+            ctl[1] = i_episode
+            ctl[2] = float(warmup)
+            ctl[3] = start_backup
+            o = 6
+            ctl[o:o + obs_dim] = obs
+            if prev is not None:
+                ctl[4] = 1.0
+                ctl[5] = prev[4]
+                ctl[o + obs_dim:o + 2 * obs_dim] = prev[0]
+                ctl[o + 2 * obs_dim:o + 3 * obs_dim] = prev[1]
+                o += 3 * obs_dim
+                ctl[o:o + lyap_dim] = prev[2]
+                ctl[o + lyap_dim] = prev[3]
+
+            # --- ONE dispatch: updates (gate: len(memory) > batch_size,
+            # UNI/main.py:59) + supervisor + action selection ----------
+            if rings.rl.size > B:
+                rows = rings.rl.sample(U * B).reshape(U, B, rings.width)
+                # mirror the device gate (update.py do_node: interval
+                # AND episode limit) so off-cycle steps skip the
+                # 32768-row sample AND its H2D transfer entirely
+                node_due = (
+                    any((updates + j) % ncfg.update_interval == 0
+                        for j in range(U))
+                    and (ncfg.fit_episode_limit is None
+                         or i_episode <= ncfg.fit_episode_limit))
+                if node_due:
+                    ctl_d, rows_d, node_d = jax.device_put(
+                        (ctl, rows, rings.node.sample(ncfg.max_batch)))
+                else:
+                    ctl_d, rows_d = jax.device_put((ctl, rows))
+                    node_d = zero_node_rows
+                ts, action_d, use_backup_d, sup, last_train = step_train(
+                    ts, ctl_d, rows_d, node_d, sup, run_key)
+                updates += U
+            else:
+                action_d, use_backup_d, sup = step_select(
+                    ts, jax.device_put(ctl), sup, run_key)
+
+            # the ONE blocking round trip of the step: the env cannot
+            # advance without the action (the backup flag rides along)
             action, use_backup = jax.device_get((action_d, use_backup_d))
             use_backup = bool(use_backup)
             (next_obs, reward, constraint, lyap_t, lyap_t1, barrier,
@@ -204,21 +416,12 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
                            next_t=t + dt + node_t_shift)
             rings.node.push(rings.pack(rec))
 
-            # --- supervisor trigger machine (same pure state machine as
-            # the device program; one extra dispatch per step) ----------
-            if sup_post is not None:
-                out_t = StepOut(
-                    obs=next_obs, reward=np.float32(reward),
-                    constraint=np.float32(constraint), lyap_t=lyap_t,
-                    lyap_t1=lyap_t1, barrier_signal=np.float32(barrier),
-                    done=np.bool_(done_env), goal_met=np.bool_(gm),
-                    reached=np.float32(reached),
-                    num_violations=np.float32(viol),
-                    safety_cost=np.float32(cost),
-                    viol_breakdown=np.zeros(4, np.float32),
-                    cost_breakdown=np.zeros(4, np.float32))
-                sup = sup_post(sup, obs, out_t, np.int32(ep_steps),
-                               start_backup)
+            # the supervisor's post-step machine consumes these at the
+            # NEXT step's dispatch (zero extra dispatches; the state is
+            # only read at pre-action time)
+            prev = (obs, np.asarray(next_obs, np.float32),
+                    np.asarray(lyap_t1, np.float32).reshape(lyap_dim),
+                    float(reached), float(ep_steps))
 
             ep_backup_steps += int(use_backup)
             ep_reward += float(reward)
@@ -248,7 +451,7 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             # NBC-family runs append the barrier-critic TD loss, same
             # column convention as the fused driver (train/cli.py)
             loss_keys.append("barrier_td_loss")
-        if last_train:
+        if last_train is not None:
             fetched = jax.device_get({k: last_train[k] for k in loss_keys})
             row.update({k: float(v) for k, v in fetched.items()})
         else:
@@ -265,4 +468,30 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         elif not quiet:
             print(f"host ep {i_episode}: reward {ep_reward:.2f} "
                   f"steps {ep_steps} updates {updates}")
+        if sink is not None:
+            # the reference's wandb-channel dict (UNI/main.py:157-165)
+            wb = {"Episode Reward": ep_reward,
+                  "Episode Length": ep_steps,
+                  "Episode Safety Cost": ep_cost,
+                  "Episode Number of Safety Violations": ep_viol,
+                  "Cumulated Number of steps": total_steps}
+            if cfg.env.name == "cars":
+                wb["Episode Number of reaching destination"] = ep_reached
+            sink.log(wb)
+        if (weights_dir is not None or ckpt_writer is not None) and (
+                i_episode % save_every == 0
+                or i_episode == episodes - 1):
+            if weights_dir is not None:
+                from nlbac_tpu.train.checkpoint import save_model_weights
+                save_model_weights(weights_dir, ts,
+                                   include_barrier=uses_barrier(
+                                       cfg.constraint.kind))
+            if ckpt_writer is not None:
+                save_host_checkpoint(checkpoint_path, ts, rings, run_key,
+                                     updates, total_steps, i_episode,
+                                     async_writer=ckpt_writer)
+        if on_episode_end is not None:
+            on_episode_end(i_episode, ts, row)
+    if ckpt_writer is not None:
+        ckpt_writer.wait()
     return ts, history

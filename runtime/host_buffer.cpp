@@ -148,6 +148,29 @@ void rb_sample(void* rb, int64_t n, int64_t max_index, float* out) {
 int64_t rb_size(void* rb) { return static_cast<RingBuffer*>(rb)->size; }
 int64_t rb_total(void* rb) { return static_cast<RingBuffer*>(rb)->total; }
 
+// Snapshot/restore (host-loop checkpoint/resume, train/host_loop.py):
+// the FULL ring contents plus counters and the sampler's RNG state, so
+// a resumed run keeps both the data distribution and the sample stream.
+// meta layout: [position, size, total, rng_s0, rng_s1] as uint64.
+void rb_snapshot(void* rb, float* data_out, uint64_t* meta_out) {
+  auto* b = static_cast<RingBuffer*>(rb);
+  std::memcpy(data_out, b->data.data(), b->data.size() * sizeof(float));
+  meta_out[0] = static_cast<uint64_t>(b->position);
+  meta_out[1] = static_cast<uint64_t>(b->size);
+  meta_out[2] = static_cast<uint64_t>(b->total);
+  meta_out[3] = b->rng.s0;
+  meta_out[4] = b->rng.s1;
+}
+void rb_restore(void* rb, const float* data, const uint64_t* meta) {
+  auto* b = static_cast<RingBuffer*>(rb);
+  std::memcpy(b->data.data(), data, b->data.size() * sizeof(float));
+  b->position = static_cast<int64_t>(meta[0]);
+  b->size = static_cast<int64_t>(meta[1]);
+  b->total = static_cast<int64_t>(meta[2]);
+  b->rng.s0 = meta[3];
+  b->rng.s1 = meta[4];
+}
+
 void* tsv_create(const char* path) { return new TsvWriter(path); }
 void tsv_destroy(void* w) { delete static_cast<TsvWriter*>(w); }
 void tsv_header(void* w, const char* line) {

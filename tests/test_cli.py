@@ -949,15 +949,18 @@ def test_cli_host_loop_rejects_fused_mode_flags():
 
     from nlbac_tpu.train.cli import main
 
+    # NOTE r5: --wandb/--tensorboard/--checkpoint/--resume are now
+    # SUPPORTED under --host_loop (the reference's own host loop has
+    # mid-run saves + per-episode wandb, UNI/main.py:153-165); only
+    # genuinely-inapplicable flags stay rejected.
     for extra in (["--dp", "2"], ["--tp", "2"], ["--n_seeds", "2"],
-                  ["--resume", "x.npz"], ["--checkpoint", "x.npz"],
-                  ["--profile_dir", "/tmp/p"], ["--wandb"],
-                  ["--tensorboard"], ["--mode", "eval"],
+                  ["--profile_dir", "/tmp/p"], ["--mode", "eval"],
                   ["--save_best", "reward"],
                   # dependent flags are rejected too, not silently inert
-                  ["--save_best_window", "5"],
-                  ["--save_best_after", "10"],
-                  ["--wandb_project", "proj"]):
+                  # (value-taking flags: explicit falsy values must
+                  # still fail loudly — advisor r4)
+                  ["--save_best_window", "0"],
+                  ["--save_best_after", "10"]):
         with pytest.raises(SystemExit):
             main(["--preset", "unicycle", "--host_loop"] + extra)
     with pytest.raises(SystemExit, match="curriculum"):

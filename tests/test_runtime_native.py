@@ -438,3 +438,87 @@ def test_as_host_env_forwards_step_kwargs():
             break
     # the attitude kill fires long before the plain env's position box
     assert done_k is not None and (done_p is None or done_k < done_p)
+
+
+def test_host_loop_checkpoint_resume_bitexact(tmp_path):
+    """Host-loop durability (VERDICT r4 item 3 stretch): a run
+    checkpointed at episode 1 and resumed reproduces the uninterrupted
+    run bit-for-bit — train state, metrics rows, and the native rings'
+    sampler stream all restore (runtime/host_buffer.cpp rb_snapshot/
+    rb_restore; the fold_in RNG scheme needs only the counters)."""
+    import jax
+
+    from nlbac_tpu.train import host_loop as hl
+
+    ck = str(tmp_path / "ck.npz")
+    cfg, adapter = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
+                                              start_steps=0)
+    ts_a, hist_a = hl.train_host_env(cfg, adapter, episodes=4, seed=3)
+
+    cfg2, adapter2 = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
+                                                start_steps=0)
+    # save_every = max(1, 2 // 2) = 1 -> checkpoint lands at episode 1
+    hl.train_host_env(cfg2, adapter2, episodes=2, seed=3,
+                      checkpoint_path=ck)
+    assert os.path.exists(ck)
+
+    cfg3, adapter3 = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
+                                                start_steps=0)
+    ts_b, hist_b = hl.train_host_env(cfg3, adapter3, episodes=4, seed=3,
+                                     resume_path=ck)
+    assert [r["Episode"] for r in hist_b] == [2, 3]
+    for ra, rb in zip(hist_a[2:], hist_b):
+        for k in ra:
+            if k != "wall_s":
+                assert ra[k] == rb[k], (k, ra[k], rb[k])
+    for la, lb in zip(jax.tree.leaves(ts_a), jax.tree.leaves(ts_b)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_host_loop_sink_and_midrun_saves(tmp_path):
+    """Host-loop observability: the reference's wandb-channel metric
+    dict reaches the sink every episode (UNI/main.py:157-165) and
+    reference-layout weights + the full checkpoint are written MID-RUN
+    at the max_episodes/save_every_fraction cadence (UNI/main.py:
+    153-154) — not only at the end."""
+    from nlbac_tpu.train import host_loop as hl
+    from nlbac_tpu.train.logging import MetricsSink
+
+    cfg, adapter = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
+                                              start_steps=0)
+    sink = MetricsSink(logger=None)
+    wdir = str(tmp_path / "w")
+    ck = str(tmp_path / "ck.npz")
+
+    seen = []
+
+    def spy(i_episode, ts, row):
+        # cadence save_every = max(1, 4 // 2) = 2 -> episodes 0, 2, 3
+        seen.append((i_episode, os.path.exists(
+            os.path.join(wdir, "actor.pkl")), os.path.exists(ck)))
+
+    hl.train_host_env(cfg, adapter, episodes=4, seed=0, sink=sink,
+                      weights_dir=wdir, checkpoint_path=ck,
+                      on_episode_end=spy)
+    assert len(sink.history) == 4
+    assert {"Episode Reward", "Episode Length", "Episode Safety Cost",
+            "Episode Number of Safety Violations",
+            "Cumulated Number of steps"} <= set(sink.history[0])
+    # weights existed already after episode 0 (mid-run, not final-only)
+    assert seen[0][1], "no mid-run weight save at episode 0"
+    assert os.path.exists(os.path.join(wdir, "node_model.pkl"))
+    assert os.path.exists(ck)
+
+
+def test_host_loop_rejects_zero_updates_per_step():
+    """updates_per_step=0 fails as a clean config error, not a
+    mid-episode NameError (advisor r4)."""
+    import dataclasses
+
+    from nlbac_tpu.train import host_loop as hl
+
+    cfg, adapter = _host_loop_cfg_and_adapter()
+    cfg = dataclasses.replace(
+        cfg, sac=dataclasses.replace(cfg.sac, updates_per_step=0))
+    with pytest.raises(ValueError, match="updates_per_step"):
+        hl.train_host_env(cfg, adapter, episodes=1, seed=0)
