@@ -42,6 +42,16 @@ class NodeConfig:
     lr: float = 1e-3  # UNI/sac_cbf_clf/sac_cbf_clf.py:133
     solver: str = "euler"  # UNI/sac_cbf_clf/sac_cbf_clf.py:132
     solver_steps: int = 1  # t_span=[0,dt] with a fixed-step method = 1 step
+    # dopri5 only: 'while' = data-dependent lax.while_loop + adjoint VJP
+    # (cheapest; crashes the axon remote compiler when nested in the
+    # fused episode program); 'scan' = fixed-trip-count masked-
+    # acceptance lax.scan, directly reverse-differentiable and safe to
+    # nest (ode/solvers.py solve_adaptive impl='scan').
+    adaptive_impl: str = "while"
+    # static trial-step bound for the scan impl — every trip is PAID in
+    # compute, so this is a realistic cap for dt=0.02 spans, not the
+    # while-loop's 512 backstop
+    adaptive_scan_steps: int = 16
     update_interval: int = 10  # --NODE_model_update_interval default
     max_batch: int = 32768  # UNI/sac_cbf_clf/sac_cbf_clf.py:206
     fit_episode_limit: Optional[int] = None  # PVTOL: fit only while ep<=100

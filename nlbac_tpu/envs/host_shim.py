@@ -12,10 +12,14 @@ host-physics engines — can be driven by KNOWN physics.  That is how the
 host-loop mode is validated against the fused device program on the
 real presets (tests/test_runtime_native.py; PARITY.md).
 
-The wrapped ``step`` is one jitted call per env step on the default
-backend — fine on CPU; through a tunneled TPU every step pays a
-round trip (the fused program is the fast path for pure-JAX envs,
-DESIGN.md §1 — this shim exists for validation, not throughput).
+The wrapped ``step`` is one jitted call per env step, pinned to the
+HOST CPU backend: these are µs-scale physics kernels, and on the
+default (tunneled TPU) backend every env step paid a ~30 ms dispatch +
+blocking 11-field fetch round trip — the r5 cost decomposition
+(scripts/probe_host_loop_cost.py) showed this was HALF the host-loop
+mode's per-step wall time.  A host-API env is host physics by
+definition; the fused program remains the fast path for pure-JAX envs
+(DESIGN.md §1).
 """
 
 from __future__ import annotations
@@ -38,7 +42,18 @@ class _HostShim:
         self._max_steps = (env_module.SPEC.max_episode_steps
                            if max_episode_steps is None
                            else int(max_episode_steps))
-        self._key = jax.random.PRNGKey(seed)
+        # host physics runs on the host: pin the env programs AND the
+        # reset key chain to the CPU backend so no env step ever
+        # touches the (possibly tunneled) accelerator — see module
+        # docstring for the measured cost of getting this wrong
+        # every shim call runs under jax.default_device(cpu): committed-
+        # input propagation alone does NOT keep the programs off a
+        # tunneled default backend (measured 16 ms/step residual), and
+        # jit(device=) is deprecated
+        self._cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(self._cpu):
+            self._key = jax.device_put(jax.random.PRNGKey(seed),
+                                       self._cpu)
         self._state = None
         extra = dict(step_kwargs or {})
         self._reset = jax.jit(
@@ -51,12 +66,14 @@ class _HostShim:
                 **extra))
 
     def reset(self):
-        self._key, krst = jax.random.split(self._key)
-        self._state, obs = self._reset(krst)
+        with jax.default_device(self._cpu):
+            self._key, krst = jax.random.split(self._key)
+            self._state, obs = self._reset(krst)
         return np.asarray(obs, np.float32)
 
     def step(self, action):
-        self._state, out = self._step(self._state, action)
+        with jax.default_device(self._cpu):
+            self._state, out = self._step(self._state, action)
         # ONE batched D2H for the whole StepOut (per-field reads each
         # pay a tunnel round trip on the axon backend — CLAUDE.md)
         o = jax.device_get(out)

@@ -144,14 +144,26 @@ def predict_next_state(cfg: NodeConfig, params, x, u, dt, t=None,
         field = make_field(cfg)
     s0 = pack_input(cfg, x, u, t)
     if cfg.solver == "dopri5":
-        # The adaptive solver is a lax.while_loop — not reverse-mode
-        # differentiable — and this function sits on every gradient path
-        # (NODE fit, constraint rollouts).  Route through the adjoint
-        # (same forward values; backsolve VJP), which is also how
-        # torchdiffeq trains through dopri5.
-        from nlbac_tpu.ode import odeint_adjoint
+        if getattr(cfg, "adaptive_impl", "while") == "scan":
+            # Fixed-trip-count masked-acceptance dopri5 (solve_adaptive
+            # impl='scan'): directly reverse-differentiable through the
+            # scan (discretize-then-optimize) and free of data-dependent
+            # loops, so it nests inside the fused episode program on the
+            # axon backend where the while_loop variant crashes the
+            # remote compiler (PARITY "NODE solver stack").
+            s1 = solvers.odeint(field, params, s0, 0.0, dt,
+                                method="dopri5", impl="scan",
+                                max_steps=cfg.adaptive_scan_steps)
+        else:
+            # The while_loop adaptive solver is not reverse-mode
+            # differentiable — and this function sits on every gradient
+            # path (NODE fit, constraint rollouts).  Route through the
+            # adjoint (same forward values; backsolve VJP), which is
+            # also how torchdiffeq trains through dopri5.
+            from nlbac_tpu.ode import odeint_adjoint
 
-        s1 = odeint_adjoint(field, params, s0, 0.0, dt, method="dopri5")
+            s1 = odeint_adjoint(field, params, s0, 0.0, dt,
+                                method="dopri5")
     else:
         s1 = solvers.odeint(field, params, s0, 0.0, dt, method=cfg.solver,
                             num_steps=cfg.solver_steps)

@@ -192,9 +192,25 @@ class _AdaptState(NamedTuple):
 def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
                    atol: float = 1e-7, max_steps: int = 512,
                    safety: float = 0.9, min_factor: float = 0.2,
-                   max_factor: float = 10.0, return_final_t: bool = False):
+                   max_factor: float = 10.0, return_final_t: bool = False,
+                   impl: str = "while"):
     """Adaptive dopri5 with a PI step-size controller, as a bounded
     ``lax.while_loop`` (static ``max_steps`` backstop keeps it compilable).
+
+    ``impl='scan'`` runs the IDENTICAL controller math as a fixed-
+    trip-count ``lax.scan`` with masked step acceptance: every trip
+    computes a trial step, and trips after the span is reached leave the
+    state untouched.  Iterates match the while_loop bit-for-bit while
+    active, so results are equal whenever ``max_steps`` covers the trial
+    steps actually needed — pass a realistic bound (e.g. 16-32 for the
+    NODE's dt=0.02 spans), not the while-loop's 512 backstop, because
+    every trip is PAID in compute.  Two reasons to choose it: (a) it is
+    reverse-mode differentiable directly (discretize-then-optimize
+    through the scan — no adjoint backsolve needed), and (b) it has no
+    data-dependent loop, which the fused episode program needs on the
+    axon TPU backend (a dopri5 while_loop nested in the episode
+    while_loop reproducibly crashes the remote compiler — PARITY "NODE
+    solver stack").
 
     The state ``y0`` may be any pytree (needed by the adjoint's augmented
     system); the error norm is the RMS over all leaf elements, matching
@@ -228,7 +244,12 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
         sq = jax.tree.map(leaf_sq, y5, y4, y)
         total = sum(jax.tree.leaves(sq))
         n = sum(x.size for x in jax.tree.leaves(y))
-        return jnp.sqrt(total / n)
+        # the max() floors sqrt away from 0 so reverse-mode through the
+        # scan impl stays finite (sqrt'(0)=inf would NaN the cotangent
+        # even on masked trips — 0 * inf). Bit-identical behavior: it
+        # only binds when err < 1e-12, far under both the accept
+        # threshold and the controller's own err_c >= 1e-10 clamp.
+        return jnp.sqrt(jnp.maximum(total / n, 1e-24))
 
     def cond(s: _AdaptState):
         return jnp.logical_and(s.t < span, s.n_steps < max_steps)
@@ -253,7 +274,25 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
 
     init = _AdaptState(t=jnp.float32(0.0), y=y0, dt=dt0,
                        err_prev=jnp.float32(1.0), n_steps=jnp.int32(0))
-    final = lax.while_loop(cond, body, init)
+    if impl == "scan":
+        def scan_body(s, _):
+            active = s.t < span
+            # frozen trips run the body with dt forced to EXACTLY 0
+            # (span - t can be epsilon-negative): y5 = y4 = y, so the
+            # discarded branch stays finite — jnp.where's VJP sends a
+            # zero cotangent into the untaken branch and 0 * inf = NaN
+            # would otherwise poison the whole gradient
+            s_in = s._replace(dt=jnp.where(
+                active, s.dt, jnp.zeros_like(s.dt)),
+                t=jnp.where(active, s.t, span))
+            s2 = body(s_in)
+            s = jax.tree.map(lambda a, b: jnp.where(active, a, b), s2, s)
+            return s, None
+        final, _ = lax.scan(scan_body, init, None, length=max_steps)
+    elif impl == "while":
+        final = lax.while_loop(cond, body, init)
+    else:
+        raise ValueError(f"unknown adaptive impl {impl!r}")
     if return_final_t:
         return final.y, t0 + direction * final.t
     return final.y
@@ -265,16 +304,19 @@ def solve_adaptive(field: Field, params, y0, t0, t1, *, rtol: float = 1e-5,
 
 def odeint(field: Field, params, y0, t0, t1, *, method: str = "euler",
            num_steps: int = 1, rtol: float = 1e-5, atol: float = 1e-7,
-           max_steps: int = 512):
+           max_steps: int = 512, impl: str = "while"):
     """Integrate ``dy/dt = field(params, t, y)`` from t0 to t1.
 
     method: 'euler' | 'midpoint' | 'heun' | 'rk4' (fixed-step, ``num_steps``
-    equal steps) or 'dopri5' (adaptive; rtol/atol/max_steps apply).
+    equal steps) or 'dopri5' (adaptive; rtol/atol/max_steps apply;
+    ``impl='scan'`` selects the fixed-trip-count masked-acceptance
+    variant — reverse-differentiable and episode-loop-nestable, see
+    :func:`solve_adaptive`).
     """
     if method in _FIXED_STEPS:
         return solve_fixed(field, params, y0, t0, t1, method=method,
                            num_steps=num_steps)
     if method == "dopri5":
         return solve_adaptive(field, params, y0, t0, t1, rtol=rtol,
-                              atol=atol, max_steps=max_steps)
+                              atol=atol, max_steps=max_steps, impl=impl)
     raise ValueError(f"unknown method {method!r}")

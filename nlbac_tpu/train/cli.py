@@ -221,6 +221,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "run; presets keep their gate when absent")
     p.add_argument("--node_solver", default=None,
                    choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
+    p.add_argument("--node_adaptive_impl", default=None,
+                   choices=["while", "scan"],
+                   help="dopri5 loop implementation: 'while' (adaptive "
+                        "lax.while_loop + adjoint VJP; crashes the axon "
+                        "backend inside the fused episode program) or "
+                        "'scan' (fixed-trip masked acceptance; nests "
+                        "everywhere, directly differentiable)")
     p.add_argument("--reference_time_labels", action="store_true",
                    help="push the reference's off-by-one-dt NODE-buffer "
                         "transition times (t=step*dt) instead of the "
@@ -315,6 +322,7 @@ def config_from_args(args) -> NLBACConfig:
                  update_interval=args.NODE_model_update_interval,
                  fit_episode_limit=args.NODE_fit_episode_limit,
                  solver=args.node_solver,
+                 adaptive_impl=args.node_adaptive_impl,
                  reference_time_labels=(True if args.reference_time_labels
                                         else None)),
         run=rep(cfg.run, seed=args.seed,
@@ -854,19 +862,21 @@ def main(argv=None):
                          args.process_id)
     cfg = config_from_args(args)
     enable_compilation_cache()
-    if (cfg.node.solver == "dopri5" and not args.host_loop
-            and args.mode == "train"):
+    if (cfg.node.solver == "dopri5" and cfg.node.adaptive_impl == "while"
+            and not args.host_loop and args.mode == "train"):
         # the adaptive-step while_loop nested inside the fused episode
         # program reproducibly crashes the axon remote compiler/device
         # (PARITY.md "NODE solver stack"); the same update runs fine
         # dispatched per-update. Warn (not error): other backends
-        # compile the fused combination fine (CPU does).
+        # compile the fused combination fine (CPU does). The scan impl
+        # (--node_adaptive_impl scan) nests fine and is the supported
+        # fused-program route.
         print(colorize(
-            "note: --node_solver dopri5 inside the FUSED episode "
-            "program is known to crash the axon TPU backend (adaptive "
-            "while_loop nesting); if this run dies with 'TPU device "
-            "error', use --host_loop (same dopri5 update, dispatched "
-            "per-update — trains on the TPU) or --cpu", "yellow"))
+            "note: --node_solver dopri5 with the default while_loop "
+            "impl inside the FUSED episode program is known to crash "
+            "the axon TPU backend (adaptive while_loop nesting); use "
+            "--node_adaptive_impl scan (fused-program-safe), "
+            "--host_loop, or --cpu", "yellow"))
     if args.mode == "eval":
         # evaluate reference-layout weights from --output (which then
         # points at a run directory, not a parent folder)

@@ -5,28 +5,34 @@ program (a Python step loop around device-side updates, UNI/main.py:
 56-104) — used here for HOST-side environments (safe-control-gym-style
 physics, ``envs/host_adapter.HostEnvAdapter``) where the fused on-device
 episode program would serialize on per-step ``io_callback`` round trips
-anyway.  The replay rings live in the NATIVE C++ host data plane
+anyway.  The RL replay ring lives in the NATIVE C++ host data plane
 (``runtime/host_buffer.cpp`` via :mod:`nlbac_tpu.runtime_native`):
-
-- pushes are one ``memcpy`` into a preallocated float32 ring (no
-  per-record Python objects — the reference keeps a Python list of
-  tuples, UNI/sac_cbf_clf/replay_memory.py:4-28);
-- samples are native xorshift gathers straight into a caller buffer
-  that ships to the device as ONE ``jax.device_put`` per step.
+pushes are one ``memcpy`` into a preallocated float32 ring (no
+per-record Python objects — the reference keeps a Python list of
+tuples, UNI/sac_cbf_clf/replay_memory.py:4-28), samples are native
+xorshift gathers whose rows ride the step dispatch to the device.
 
 The per-step device traffic is the mode's cost model (the tunneled
-backend pays ~30 ms per blocking round trip — CLAUDE.md), so the loop
-is built around ONE fused jitted program per step:
+backend pays ~30 ms per blocking round trip, and bulk H2D runs at
+~40 MB/s — the r5 decomposition in scripts/probe_host_loop_cost.py),
+so the loop is built around ONE fused jitted program per step:
 
 - the whole ``updates_per_step`` loop, the supervisor's trigger
   machines, AND action selection run in a single dispatch;
-- every host-originating input rides ONE ``jax.device_put`` — the U
-  update batches as one raw ``(U, batch, width)`` row array (unpacked
-  on device), the NODE rows only on fit-due steps (off-cycle steps
-  reuse a device-resident zero buffer feeding the ``lax.cond``'s dead
-  branch), and all scalars/vectors (obs, counters, flags, the previous
-  step's supervisor inputs) packed into one float32 control vector —
-  the same pack-the-record lesson as the device replay (+73%);
+- the NODE replay lives ON DEVICE (``nlbac_tpu.replay``): each step's
+  transition rides the control vector (one ~35-float row) and is pushed
+  in-program, and the 32768-row fit batch is gathered on device INSIDE
+  the interval-gated fit branch — the host-ring design shipped a
+  ~4.6 MB batch through the tunnel on every fit-due step (~117 ms
+  each, HALF the mode's steady-state step cost);
+- the U RL update batches ride the dispatch as one raw
+  ``(U, batch, width)`` row array (unpacked on device), and all
+  scalars/vectors (obs, counters, flags, the previous step's
+  supervisor inputs and NODE row) pack into one float32 control
+  vector — the same pack-the-record lesson as the device replay
+  (+73%).  Host numpy args go STRAIGHT into the jitted call: the
+  implicit transfer pipelines with the dispatch, while an explicit
+  ``jax.device_put`` blocks ~30 ms per array;
 - the only BLOCKING transfer per step is the action fetch (the env
   cannot step without it); per-step RNG derives from ``fold_in`` of a
   device-resident run key instead of per-step ``jax.random.split``
@@ -63,7 +69,14 @@ from nlbac_tpu.envs.base import StepOut
 
 
 class HostRings:
-    """The two native replay rings + the packed-record layout."""
+    """The native RL replay ring + the packed-record layout.
+
+    The NODE replay is NOT a host ring: it lives on device
+    (``nlbac_tpu.replay``) because its consumer — the 32768-row
+    interval-gated fit batch — is device-side, and shipping it through
+    the tunnel cost ~117 ms per fit-due step (module docstring).  The
+    loop publishes its latest handle as ``self.node_replay`` for
+    introspection/tests."""
 
     def __init__(self, cfg: NLBACConfig, spec, seed: int = 0):
         from nlbac_tpu.runtime_native import HostReplay
@@ -72,8 +85,7 @@ class HostRings:
                                              spec.lyap_dim)
         self.width = sum(w for _, _, w in self.layout)
         self.rl = HostReplay(cfg.replay.capacity, self.width, seed=seed)
-        self.node = HostReplay(cfg.replay.node_capacity, self.width,
-                               seed=seed + 1)
+        self.node_replay = None  # set by train_host_env per episode
 
     def pack(self, record: dict) -> np.ndarray:
         parts = [np.asarray(record[name], np.float32).reshape(w)
@@ -85,20 +97,20 @@ class HostRings:
         return replay_lib.unpack_rows(self.layout, rows)
 
 
-def save_host_checkpoint(path: str, ts, rings: HostRings, run_key,
-                         updates: int, total_steps: int, i_episode: int,
-                         async_writer=None) -> None:
-    """Full host-loop training state: train state + BOTH native ring
-    snapshots (contents, counters, sampler RNG) + step counters.  Reuses
-    the fused checkpoint format (train/checkpoint.py npz+manifest) with
-    the ring snapshots as the replay sections, so the same atomic-write
+def save_host_checkpoint(path: str, ts, rings: HostRings, node_replay,
+                         run_key, updates: int, total_steps: int,
+                         i_episode: int, async_writer=None) -> None:
+    """Full host-loop training state: train state + the native RL ring
+    snapshot (contents, counters, sampler RNG) + the device NODE replay
+    + step counters.  Reuses the fused checkpoint format
+    (train/checkpoint.py npz+manifest) with the ring snapshot and the
+    replay pytree as the replay sections, so the same atomic-write
     machinery serves both modes."""
     from nlbac_tpu.train.checkpoint import save_checkpoint
 
     d1, m1 = rings.rl.snapshot()
-    d2, m2 = rings.node.snapshot()
-    args = (path, ts, {"data": d1, "meta": m1},
-            {"data": d2, "meta": m2}, run_key, total_steps, i_episode)
+    args = (path, ts, {"data": d1, "meta": m1}, node_replay, run_key,
+            total_steps, i_episode)
     extra = {"updates": updates, "mode": "host_loop"}
     if async_writer is not None:
         async_writer.save(*args, extra=extra)
@@ -106,12 +118,13 @@ def save_host_checkpoint(path: str, ts, rings: HostRings, run_key,
         save_checkpoint(*args, extra=extra)
 
 
-def restore_host_checkpoint(path: str, ts_template, rings: HostRings):
-    """Restore a host-loop checkpoint IN PLACE into ``rings``; returns
-    ``(ts, run_key, updates, total_steps, i_episode)``.  Host-specific
-    restore: the ring buffers stay on the host (the fused-mode
-    ``restore_checkpoint`` device_puts every section — ~90MB of ring
-    data would round-trip through the TPU for nothing)."""
+def restore_host_checkpoint(path: str, ts_template, rings: HostRings,
+                            node_template):
+    """Restore a host-loop checkpoint; the RL ring is restored IN PLACE
+    into ``rings`` (its buffer stays on the host — the fused-mode
+    ``restore_checkpoint`` would round-trip ~45MB through the TPU for
+    nothing); returns ``(ts, node_replay, run_key, updates, total_steps,
+    i_episode)``."""
     import json
 
     with np.load(path, allow_pickle=False) as z:
@@ -120,32 +133,40 @@ def restore_host_checkpoint(path: str, ts_template, rings: HostRings):
             raise ValueError(
                 f"{path} is not a host-loop checkpoint (use --resume "
                 f"without --host_loop for fused-mode checkpoints)")
-        specs = manifest["sections"]["train_state"]
-        leaves = [z[f"train_state.{i}"] for i in range(len(specs))]
-        t_leaves, treedef = jax.tree.flatten(ts_template)
-        if len(t_leaves) != len(leaves):
-            raise ValueError(
-                f"checkpoint train_state has {len(leaves)} leaves but "
-                f"the current config expects {len(t_leaves)} — was the "
-                f"config changed since saving?")
-        for i, (got, want) in enumerate(zip(leaves, t_leaves)):
-            want_shape = tuple(np.shape(want))
-            want_dtype = np.dtype(getattr(want, "dtype", None)
-                                  or np.asarray(want).dtype)
-            if tuple(got.shape) != want_shape or got.dtype != want_dtype:
+
+        def load_section(name, template):
+            specs = manifest["sections"][name]
+            leaves = [z[f"{name}.{i}"] for i in range(len(specs))]
+            t_leaves, treedef = jax.tree.flatten(template)
+            if len(t_leaves) != len(leaves):
                 raise ValueError(
-                    f"checkpoint train_state leaf {i}: {got.shape}/"
-                    f"{got.dtype} != expected {want_shape}/{want_dtype}")
+                    f"checkpoint {name} has {len(leaves)} leaves but "
+                    f"the current config expects {len(t_leaves)} — was "
+                    f"the config changed since saving?")
+            for i, (got, want) in enumerate(zip(leaves, t_leaves)):
+                want_shape = tuple(np.shape(want))
+                want_dtype = np.dtype(getattr(want, "dtype", None)
+                                      or np.asarray(want).dtype)
+                if (tuple(got.shape) != want_shape
+                        or got.dtype != want_dtype):
+                    raise ValueError(
+                        f"checkpoint {name} leaf {i}: {got.shape}/"
+                        f"{got.dtype} != expected "
+                        f"{want_shape}/{want_dtype}")
+            return jax.tree.unflatten(treedef, leaves)
+
+        ts = load_section("train_state", ts_template)
+        node_replay = load_section("node_replay", node_template)
         # jax.tree flattens dicts in sorted-key order: ["data", "meta"]
         rings.rl.restore(z["rl_replay.0"], z["rl_replay.1"])
-        rings.node.restore(z["node_replay.0"], z["node_replay.1"])
         counters = z["counters"]
         key = z["key"].copy()
         updates = int(manifest["extra"]["updates"])
     # one batched H2D for the device-resident state (per-leaf puts each
     # pay a tunnel round trip — CLAUDE.md)
-    ts, key = jax.device_put((jax.tree.unflatten(treedef, leaves), key))
-    return ts, key, updates, int(counters[0]), int(counters[1])
+    ts, node_replay, key = jax.device_put((ts, node_replay, key))
+    return (ts, node_replay, key, updates, int(counters[0]),
+            int(counters[1]))
 
 
 def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
@@ -222,18 +243,33 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
 
     # ---- the packed control vector (ONE host->device array per step) --
     # [0]=total_step  [1]=i_episode  [2]=warmup  [3]=start_backup
-    # [4]=has_prev    [5]=prev_episode_steps
+    # [4]=has_prev    [5]=prev_episode_steps  [6]=has_node_row
     # then: obs | prev_obs | prev_next_obs | prev_lyap_t1 | prev_reached
-    CTL = 6 + 3 * obs_dim + lyap_dim + 1
+    # | prev_node_row(width) — the previous transition's packed NODE
+    # record, pushed in-program into the device NODE replay
+    HDR = 7
+    CTL = HDR + 3 * obs_dim + lyap_dim + 1 + rings.width
 
     def _unpack_ctl(ctl):
-        o = 6
+        o = HDR
         obs = ctl[o:o + obs_dim]; o += obs_dim
         pobs = ctl[o:o + obs_dim]; o += obs_dim
         pnext = ctl[o:o + obs_dim]; o += obs_dim
         plyap = ctl[o:o + lyap_dim]; o += lyap_dim
-        preached = ctl[o]
-        return obs, pobs, pnext, plyap, preached
+        preached = ctl[o]; o += 1
+        node_row = ctl[o:o + rings.width]
+        return obs, pobs, pnext, plyap, preached, node_row
+
+    def _push_node(node_replay, ctl):
+        """Push the previous step's transition into the device NODE
+        replay (masked on the first step of each episode — that episode
+        boundary's pending row is flushed by ``flush_node`` below, so a
+        fit at any step samples exactly the rows the reference's
+        NODE_memory would hold, UNI/main.py:95-99)."""
+        row = _unpack_ctl(ctl)[5]
+        return replay_lib.push(node_replay,
+                               replay_lib.unpack_rows(rings.layout, row),
+                               do_push=ctl[6] > 0.5)
 
     def _advance_supervisor(sup, ctl):
         """Fold the PREVIOUS step's post-step machine + this step's
@@ -242,7 +278,7 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             return pre_action(sup_cfg, sup, jnp.array(True))
         start = ctl[3] > 0.5
         has_prev = ctl[4] > 0.5
-        obs, pobs, pnext, plyap, preached = _unpack_ctl(ctl)
+        obs, pobs, pnext, plyap, preached, _ = _unpack_ctl(ctl)
         zero4 = jnp.zeros(4, jnp.float32)
         out_prev = StepOut(
             obs=pnext, reward=jnp.float32(0), constraint=jnp.float32(0),
@@ -269,47 +305,57 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         return action, use_backup, sup
 
     @jax.jit
-    def step_select(ts, ctl, sup, run_key):
-        """Warm-up phase program (replay below the update gate)."""
-        return _select(ts, ctl, sup, run_key)
+    def step_select(ts, node_replay, ctl, sup, run_key):
+        """Warm-up phase program (replay below the update gate) — still
+        pushes the NODE row (transitions always reach the NODE replay,
+        UNI/main.py:95-99)."""
+        node_replay = _push_node(node_replay, ctl)
+        action, use_backup, sup = _select(ts, ctl, sup, run_key)
+        return node_replay, action, use_backup, sup
 
     @jax.jit
-    def step_train(ts, ctl, rl_rows, node_rows, sup, run_key):
-        """Steady-state program: ALL updates_per_step updates + the
-        supervisor machines + action selection in ONE dispatch.
+    def step_train(ts, node_replay, ctl, rl_rows, sup, run_key):
+        """Steady-state program: the NODE-row push + ALL updates_per_step
+        updates + the supervisor machines + action selection in ONE
+        dispatch.
 
         ``rl_rows``: (U, B, width) raw packed rows, unpacked on device.
-        ``node_rows``: (max_batch, width) — freshly-sampled rows on
-        fit-due steps, the device-resident zero buffer otherwise (the
-        fit ``lax.cond`` inside ``update_from_batch`` is gated by the
-        train-state's own update counter, so the zero buffer provably
-        feeds a dead branch).  When multiple updates of one step are
-        fit-due (update_interval < updates_per_step — no reference
-        preset does this), they share one sampled NODE batch."""
+        The NODE fit batch is gathered ON DEVICE from ``node_replay``
+        inside the interval-gated fit branch (``update_presampled``
+        keeps the 32768-row gather lazy — the same keep-the-gather-in-
+        the-branch lesson as the fused driver's +67%)."""
+        node_replay = _push_node(node_replay, ctl)
         i_ep = ctl[1].astype(jnp.int32)
         k_step = jax.random.fold_in(run_key, ctl[0].astype(jnp.int32))
-        node_batch = rings.unpack(node_rows)
         m = None
         for j in range(U):  # static unroll, same as the device driver
             batch = rings.unpack(rl_rows[j])
             kj = jax.random.fold_in(k_step, j)
-            ts, m = agent.update_from_batch(ts, batch, node_batch, kj,
-                                            i_ep)
+            ts, m = agent.update_presampled(
+                ts, batch, node_replay, jax.random.fold_in(kj, 0),
+                jax.random.fold_in(kj, 1), i_ep)
         action, use_backup, sup = _select(ts, ctl, sup, run_key)
-        return ts, action, use_backup, sup, m
+        return ts, node_replay, action, use_backup, sup, m
 
-    # off-cycle NODE-fit steps feed this dead-branch placeholder: same
-    # aval as a real node row block, resident on device once, zero H2D
-    zero_node_rows = jax.device_put(
-        np.zeros((ncfg.max_batch, rings.width), np.float32))
+    @jax.jit
+    def flush_node(node_replay, ctl):
+        """Episode-end flush of the final pending NODE row (one tiny
+        dispatch per episode) — keeps 'every row is in the replay by
+        episode end' true, which both the reference semantics and the
+        checkpoint/resume bit-exactness rely on."""
+        return _push_node(node_replay, ctl)
+
+    node_replay = replay_lib.create(cfg.replay.node_capacity, obs_dim,
+                                    adapter.SPEC.action_dim, lyap_dim)
 
     updates = 0
     total_steps = 0
     start_episode = 0
     ckpt_writer = None
     if resume_path is not None:
-        ts, run_key, updates, total_steps, ep0 = restore_host_checkpoint(
-            resume_path, ts, rings)
+        (ts, node_replay, run_key, updates, total_steps,
+         ep0) = restore_host_checkpoint(resume_path, ts, rings,
+                                        node_replay)
         start_episode = ep0 + 1
         # replay the reset stream: each completed episode consumed one
         # reset, so fast-forwarding puts a freshly-constructed adapter's
@@ -338,7 +384,8 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
         last_train = None
         done = False
         sup = init_supervisor(sup_cfg)
-        prev = None  # (obs_prev, next_obs, lyap_t1, reached, ep_steps)
+        # (obs_prev, next_obs, lyap_t1, reached, ep_steps, node_row)
+        prev = None
         # reference gating: the trigger machines only arm after the
         # enable episode (UNI/main.py:109 `i_episode > 3`)
         start_backup = float(i_episode >= sup_cfg.enable_after_episodes)
@@ -349,41 +396,35 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             ctl[1] = i_episode
             ctl[2] = float(warmup)
             ctl[3] = start_backup
-            o = 6
+            o = HDR
             ctl[o:o + obs_dim] = obs
             if prev is not None:
                 ctl[4] = 1.0
                 ctl[5] = prev[4]
+                ctl[6] = 1.0
                 ctl[o + obs_dim:o + 2 * obs_dim] = prev[0]
                 ctl[o + 2 * obs_dim:o + 3 * obs_dim] = prev[1]
                 o += 3 * obs_dim
                 ctl[o:o + lyap_dim] = prev[2]
                 ctl[o + lyap_dim] = prev[3]
+                ctl[o + lyap_dim + 1:] = prev[5]
 
             # --- ONE dispatch: updates (gate: len(memory) > batch_size,
-            # UNI/main.py:59) + supervisor + action selection ----------
+            # UNI/main.py:59) + NODE push + supervisor + action
+            # selection.  numpy args go straight into the jitted call:
+            # the implicit arg transfer pipelines with the dispatch
+            # (~7ms marginal, measured), while an explicit
+            # jax.device_put BLOCKS ~30ms PER ARRAY through the tunnel
+            # (scripts/probe_host_loop_cost.py)
             if rings.rl.size > B:
                 rows = rings.rl.sample(U * B).reshape(U, B, rings.width)
-                # mirror the device gate (update.py do_node: interval
-                # AND episode limit) so off-cycle steps skip the
-                # 32768-row sample AND its H2D transfer entirely
-                node_due = (
-                    any((updates + j) % ncfg.update_interval == 0
-                        for j in range(U))
-                    and (ncfg.fit_episode_limit is None
-                         or i_episode <= ncfg.fit_episode_limit))
-                if node_due:
-                    ctl_d, rows_d, node_d = jax.device_put(
-                        (ctl, rows, rings.node.sample(ncfg.max_batch)))
-                else:
-                    ctl_d, rows_d = jax.device_put((ctl, rows))
-                    node_d = zero_node_rows
-                ts, action_d, use_backup_d, sup, last_train = step_train(
-                    ts, ctl_d, rows_d, node_d, sup, run_key)
+                (ts, node_replay, action_d, use_backup_d, sup,
+                 last_train) = step_train(ts, node_replay, ctl, rows,
+                                          sup, run_key)
                 updates += U
             else:
-                action_d, use_backup_d, sup = step_select(
-                    ts, jax.device_put(ctl), sup, run_key)
+                node_replay, action_d, use_backup_d, sup = step_select(
+                    ts, node_replay, ctl, sup, run_key)
 
             # the ONE blocking round trip of the step: the env cannot
             # advance without the action (the backup flag rides along)
@@ -397,7 +438,7 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             done = bool(done_env) or at_limit
             mask = 1.0 if at_limit else float(not bool(done_env))
 
-            # --- native replay pushes ---------------------------------
+            # --- replay pushes ----------------------------------------
             t = (ep_steps - 1) * dt
             node_t_shift = dt if ncfg.reference_time_labels else 0.0
             rec = {
@@ -408,20 +449,22 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
                 "next_t": t + dt,
             }
             # transitions skip the RL ring while the backup controller is
-            # active but always reach the NODE ring (UNI/main.py:96-104)
+            # active but always reach the NODE replay (UNI/main.py:
+            # 96-104); the NODE row rides the NEXT dispatch's control
+            # vector into the device replay
             if not use_backup:
                 rings.rl.push(rings.pack(rec))
             if node_t_shift:
-                rec = dict(rec, t=t + node_t_shift,
-                           next_t=t + dt + node_t_shift)
-            rings.node.push(rings.pack(rec))
+                node_row = rings.pack(dict(rec, t=t + node_t_shift,
+                                           next_t=t + dt + node_t_shift))
+            else:
+                node_row = rings.pack(rec)
 
-            # the supervisor's post-step machine consumes these at the
-            # NEXT step's dispatch (zero extra dispatches; the state is
-            # only read at pre-action time)
+            # the supervisor's post-step machine + the NODE push consume
+            # these at the NEXT step's dispatch (zero extra dispatches)
             prev = (obs, np.asarray(next_obs, np.float32),
                     np.asarray(lyap_t1, np.float32).reshape(lyap_dim),
-                    float(reached), float(ep_steps))
+                    float(reached), float(ep_steps), node_row)
 
             ep_backup_steps += int(use_backup)
             ep_reward += float(reward)
@@ -430,6 +473,14 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
             ep_reached += float(reached)
             goal_met = goal_met or bool(gm)
             obs = np.array(next_obs, np.float32)  # de-alias (see reset)
+
+        # flush the final pending NODE row (one tiny dispatch/episode)
+        if prev is not None:
+            ctl = np.zeros(CTL, np.float32)
+            ctl[6] = 1.0
+            ctl[HDR + 3 * obs_dim + lyap_dim + 1:] = prev[5]
+            node_replay = flush_node(node_replay, ctl)
+        rings.node_replay = node_replay  # introspection/tests
 
         row = {"Episode": i_episode, "episode_steps": ep_steps,
                "reward_train": ep_reward, "cost_train": ep_viol,
@@ -487,8 +538,9 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
                                    include_barrier=uses_barrier(
                                        cfg.constraint.kind))
             if ckpt_writer is not None:
-                save_host_checkpoint(checkpoint_path, ts, rings, run_key,
-                                     updates, total_steps, i_episode,
+                save_host_checkpoint(checkpoint_path, ts, rings,
+                                     node_replay, run_key, updates,
+                                     total_steps, i_episode,
                                      async_writer=ckpt_writer)
         if on_episode_end is not None:
             on_episode_end(i_episode, ts, row)

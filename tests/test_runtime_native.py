@@ -274,49 +274,52 @@ def test_host_loop_headers_survive_warmup_episode(tmp_path):
     assert np.isfinite(cols["qf1_loss"][-1]) and cols["qf1_loss"][-1] != 0
 
 
-def test_host_loop_node_gate_respects_fit_episode_limit():
-    """The host-side NODE-batch materialization must mirror the DEVICE
-    gate exactly (updates % interval AND episode <= fit_episode_limit) —
-    past the limit the 32768-row sample + H2D transfer feeds a provably
-    dead lax.cond branch and must be skipped."""
+def test_host_loop_node_replay_on_device():
+    """The NODE data plane is DEVICE-resident (r5): every transition
+    reaches the device NODE replay (warm-up steps included) via the
+    control vector — with an episode-end flush for the final row — and
+    NO host-side NODE batch is ever sampled/H2D-shipped (the host ring
+    design paid ~4.6MB through the tunnel per fit-due step).  The fit
+    gate itself (interval AND fit_episode_limit) lives in
+    agent/update.py:277-289, shared with the fused driver."""
     from nlbac_tpu.train import host_loop as hl
 
-    samples_per_ring = {}
+    sample_calls = []
     real_replay = rn.HostReplay
 
     class CountingReplay(real_replay):
         def sample(self, n, max_index=0):
-            samples_per_ring[id(self)] = samples_per_ring.get(
-                id(self), 0) + 1
+            sample_calls.append(n)
             return super().sample(n, max_index)
 
     cfg, adapter = _host_loop_cfg_and_adapter(max_steps=8, batch_size=4,
                                               start_steps=0,
                                               update_interval=1,
                                               fit_episode_limit=0)
+    rings_box = {}
+    orig_rings = hl.HostRings
+
+    class SpyRings(orig_rings):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            rings_box["obj"] = self
+
     orig = rn.HostReplay
     rn.HostReplay = CountingReplay
+    hl.HostRings = SpyRings
     try:
-        # capture the node ring by instrumenting HostRings construction
-        rings_box = {}
-        orig_rings = hl.HostRings
-
-        class SpyRings(orig_rings):
-            def __init__(self, *a, **k):
-                super().__init__(*a, **k)
-                rings_box["node"] = self.node
-
-        hl.HostRings = SpyRings
-        try:
-            hl.train_host_env(cfg, adapter, episodes=3, seed=0)
-        finally:
-            hl.HostRings = orig_rings
+        _, history = hl.train_host_env(cfg, adapter, episodes=3, seed=0)
     finally:
         rn.HostReplay = orig
-    node_samples = samples_per_ring.get(id(rings_box["node"]), 0)
-    # interval=1 + limit=0: node batches are due ONLY during episode 0
-    # (4 post-warm-up update steps there); episodes 1-2 must sample none
-    assert 0 < node_samples <= 8, node_samples
+        hl.HostRings = orig_rings
+    total = sum(h["episode_steps"] for h in history)
+    # every transition landed in the DEVICE node replay
+    assert int(rings_box["obj"].node_replay.size) == total
+    # the only host samples are the (U*B)-row RL gathers — never the
+    # node fit batch (cfg.node.max_batch)
+    assert sample_calls and all(
+        n == cfg.sac.updates_per_step * cfg.sac.batch_size
+        for n in sample_calls), sample_calls
 
 
 def test_host_loop_supervisor_backup_semantics(tmp_path):
@@ -364,10 +367,11 @@ def test_host_loop_supervisor_backup_semantics(tmp_path):
     # once enabled, the trap machine (always trapped here) must engage
     engaged = sum(h["backup_steps"] for h in history[1:])
     assert engaged > 0, "trap supervisor never engaged the backup"
-    # RL ring skipped the backup-active steps; NODE ring got every step
+    # RL ring skipped the backup-active steps; the DEVICE node replay
+    # got every step (UNI/main.py:96-104)
     rings = ring_sizes["obj"]
     total = sum(h["episode_steps"] for h in history)
-    assert rings.node.size == total
+    assert int(rings.node_replay.size) == total
     assert rings.rl.size == total - engaged
     # training still ran (updates gate uses the RL ring)
     assert history[-1]["updates"] > 0
