@@ -50,7 +50,12 @@ class NodeConfig:
     adaptive_impl: str = "while"
     # static trial-step bound for the scan impl — every trip is PAID in
     # compute, so this is a realistic cap for dt=0.02 spans, not the
-    # while-loop's 512 backstop
+    # while-loop's 512 backstop. CAVEAT (shared with torchdiffeq's own
+    # max_num_steps): a compiled loop cannot raise, so if the PI
+    # controller rejects enough trials to exhaust the bound the
+    # integration is silently PARTIAL (state at t < dt). Raise the
+    # bound (--node_adaptive_scan_steps) for stiff fields; the dt=0.02
+    # NODE spans in the archived fused-dopri5 run never came close.
     adaptive_scan_steps: int = 16
     update_interval: int = 10  # --NODE_model_update_interval default
     max_batch: int = 32768  # UNI/sac_cbf_clf/sac_cbf_clf.py:206

@@ -37,15 +37,32 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+
+    def build():
         try:
-            subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
+            subprocess.run(["make", "-C", _RUNTIME_DIR, "-B"], check=True,
                            capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             raise RuntimeError(
                 f"native runtime not built and build failed: {e}; run "
                 f"`make -C {_RUNTIME_DIR}`") from e
-    lib = ctypes.CDLL(_LIB_PATH)
+
+    if not os.path.exists(_LIB_PATH):
+        build()
+    try:
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except AttributeError:
+        # a STALE prebuilt .so from before a C-ABI addition (the .so is
+        # untracked — e.g. rb_snapshot/rb_restore landed in r5) makes
+        # dlsym raise AttributeError: rebuild once and retry rather
+        # than crashing every consumer with a raw missing-symbol error
+        build()
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64, u64 = ctypes.c_int64, ctypes.c_uint64
     fp = ctypes.POINTER(ctypes.c_float)
     lib.rb_create.restype = ctypes.c_void_p
@@ -68,7 +85,6 @@ def _load() -> ctypes.CDLL:
     dp = ctypes.POINTER(ctypes.c_double)
     lib.tsv_row.argtypes = [ctypes.c_void_p, dp, i64]
     lib.tsv_flush.argtypes = [ctypes.c_void_p]
-    _lib = lib
     return lib
 
 
@@ -131,9 +147,20 @@ class HostReplay:
 
     def restore(self, data: np.ndarray, meta: np.ndarray) -> None:
         data = np.ascontiguousarray(data, np.float32)
-        assert data.shape == (self.capacity, self.record_size), \
-            (data.shape, self.capacity, self.record_size)
+        # a real ValueError, not an assert: rb_restore memcpy's the
+        # ring's FULL buffer size from this pointer, so a silent
+        # size mismatch (e.g. python -O stripping an assert) would be
+        # an out-of-bounds read — and the user deserves the same
+        # "was the config changed?" diagnostic the npz sections give
+        if data.shape != (self.capacity, self.record_size):
+            raise ValueError(
+                f"ring restore shape {data.shape} != ring "
+                f"({self.capacity}, {self.record_size}) — was the "
+                f"replay capacity changed since saving?")
         meta = np.ascontiguousarray(meta, np.uint64)
+        if meta.shape != (5,):
+            raise ValueError(f"ring restore meta shape {meta.shape} "
+                             f"!= (5,)")
         self._lib.rb_restore(self._h, _as_float_ptr(data),
                              meta.ctypes.data_as(
                                  ctypes.POINTER(ctypes.c_uint64)))

@@ -131,34 +131,42 @@ class AsyncCheckpointer:
                 ) from err
 
 
+def load_npz_section(z, manifest, name, template):
+    """Load + validate one named section of an open checkpoint npz
+    against a config-built template tree (leaf count, per-leaf
+    shape/dtype).  Shared by the fused-mode restore below and the
+    host-loop restore (train/host_loop.restore_host_checkpoint), so a
+    format change cannot silently diverge the two."""
+    specs = manifest["sections"][name]
+    leaves = [z[f"{name}.{i}"] for i in range(len(specs))]
+    t_leaves, treedef = jax.tree.flatten(template)
+    if len(t_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint {name} has {len(leaves)} leaves but the "
+            f"current config expects {len(t_leaves)} — structure "
+            "mismatch (was the config changed since saving?)")
+    for i, (got, want) in enumerate(zip(leaves, t_leaves)):
+        want_shape = tuple(np.shape(want))
+        # read dtype from metadata — np.asarray(want) on a jax
+        # template leaf forces a D2H transfer (~1s EACH through
+        # the axon tunnel; 225 leaves made resume take ~228s)
+        want_dtype = np.dtype(getattr(want, "dtype", None)
+                              or np.asarray(want).dtype)
+        if (tuple(got.shape) != want_shape
+                or got.dtype != want_dtype):
+            raise ValueError(
+                f"checkpoint {name} leaf {i}: {got.shape}/"
+                f"{got.dtype} != expected {want_shape}/"
+                f"{want_dtype} — shape mismatch (was the config "
+                "changed since saving?)")
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def _restore_npz(path, templates):
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(bytes(z["manifest"]).decode())
-        out = {}
-        for name in _SECTIONS:
-            specs = manifest["sections"][name]
-            leaves = [z[f"{name}.{i}"] for i in range(len(specs))]
-            t_leaves, treedef = jax.tree.flatten(templates[name])
-            if len(t_leaves) != len(leaves):
-                raise ValueError(
-                    f"checkpoint {name} has {len(leaves)} leaves but the "
-                    f"current config expects {len(t_leaves)} — structure "
-                    "mismatch (was the config changed since saving?)")
-            for i, (got, want) in enumerate(zip(leaves, t_leaves)):
-                want_shape = tuple(np.shape(want))
-                # read dtype from metadata — np.asarray(want) on a jax
-                # template leaf forces a D2H transfer (~1s EACH through
-                # the axon tunnel; 225 leaves made resume take ~228s)
-                want_dtype = np.dtype(getattr(want, "dtype", None)
-                                      or np.asarray(want).dtype)
-                if (tuple(got.shape) != want_shape
-                        or got.dtype != want_dtype):
-                    raise ValueError(
-                        f"checkpoint {name} leaf {i}: {got.shape}/"
-                        f"{got.dtype} != expected {want_shape}/"
-                        f"{want_dtype} — shape mismatch (was the config "
-                        "changed since saving?)")
-            out[name] = jax.tree.unflatten(treedef, leaves)
+        out = {name: load_npz_section(z, manifest, name, templates[name])
+               for name in _SECTIONS}
         counters = z["counters"]
         key = z["key"].copy()
     # one batched H2D transfer: numpy leaves would otherwise reach the

@@ -228,6 +228,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "backend inside the fused episode program) or "
                         "'scan' (fixed-trip masked acceptance; nests "
                         "everywhere, directly differentiable)")
+    p.add_argument("--node_adaptive_scan_steps", type=int, default=None,
+                   help="scan-impl trial-step bound (default 16). A "
+                        "compiled loop cannot raise: if the controller "
+                        "rejects enough steps to exhaust the bound, the "
+                        "integration is silently PARTIAL — raise this "
+                        "if the NODE field is stiff (every trip is paid "
+                        "in compute; the while impl's backstop is 512)")
     p.add_argument("--reference_time_labels", action="store_true",
                    help="push the reference's off-by-one-dt NODE-buffer "
                         "transition times (t=step*dt) instead of the "
@@ -323,6 +330,7 @@ def config_from_args(args) -> NLBACConfig:
                  fit_episode_limit=args.NODE_fit_episode_limit,
                  solver=args.node_solver,
                  adaptive_impl=args.node_adaptive_impl,
+                 adaptive_scan_steps=args.node_adaptive_scan_steps,
                  reference_time_labels=(True if args.reference_time_labels
                                         else None)),
         run=rep(cfg.run, seed=args.seed,
@@ -801,9 +809,10 @@ def main(argv=None):
             f"to be divisible by the tp width (nothing would shard)")
     if args.host_loop:
         # Loud failures (same rule as eval mode below): the host-loop
-        # trainer is single-seed/single-device and has no checkpoint/
-        # resume/profile/sink path — silently ignoring these flags
-        # would misreport what actually ran.
+        # trainer is single-seed/single-device, and the few remaining
+        # fused-only features (profiling, best-window selection) must
+        # not be silently ignored — misreporting what actually ran is
+        # worse than exiting.
         if args.mode == "eval":
             raise SystemExit("--host_loop is a training flag; it has "
                              "no effect with --mode eval")
@@ -932,10 +941,18 @@ def main(argv=None):
                        f"env={cfg.env.name} "
                        f"backend={jax.default_backend()} host-loop "
                        f"-> {out}", "green", bold=True))
-        ts, _history = train_host_env(
-            cfg, adapter, logger=logger, quiet=args.quiet, sink=sink,
-            weights_dir=lk["output_dir"],
-            checkpoint_path=checkpoint_path, resume_path=args.resume)
+        try:
+            ts, _history = train_host_env(
+                cfg, adapter, logger=logger, quiet=args.quiet, sink=sink,
+                weights_dir=lk["output_dir"],
+                checkpoint_path=checkpoint_path, resume_path=args.resume)
+        finally:
+            if sink is not None:
+                # same finalization as the fused path: the TensorBoard
+                # SummaryWriter buffers events and a wandb run must be
+                # finish()ed — without close() a short run's tail (or
+                # all of it) is silently lost
+                sink.close()
         save_model_weights(lk["output_dir"], ts,
                            include_barrier=uses_barrier(
                                cfg.constraint.kind))

@@ -127,36 +127,17 @@ def restore_host_checkpoint(path: str, ts_template, rings: HostRings,
     i_episode)``."""
     import json
 
+    from nlbac_tpu.train.checkpoint import load_npz_section
+
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(bytes(z["manifest"]).decode())
         if manifest.get("extra", {}).get("mode") != "host_loop":
             raise ValueError(
                 f"{path} is not a host-loop checkpoint (use --resume "
                 f"without --host_loop for fused-mode checkpoints)")
-
-        def load_section(name, template):
-            specs = manifest["sections"][name]
-            leaves = [z[f"{name}.{i}"] for i in range(len(specs))]
-            t_leaves, treedef = jax.tree.flatten(template)
-            if len(t_leaves) != len(leaves):
-                raise ValueError(
-                    f"checkpoint {name} has {len(leaves)} leaves but "
-                    f"the current config expects {len(t_leaves)} — was "
-                    f"the config changed since saving?")
-            for i, (got, want) in enumerate(zip(leaves, t_leaves)):
-                want_shape = tuple(np.shape(want))
-                want_dtype = np.dtype(getattr(want, "dtype", None)
-                                      or np.asarray(want).dtype)
-                if (tuple(got.shape) != want_shape
-                        or got.dtype != want_dtype):
-                    raise ValueError(
-                        f"checkpoint {name} leaf {i}: {got.shape}/"
-                        f"{got.dtype} != expected "
-                        f"{want_shape}/{want_dtype}")
-            return jax.tree.unflatten(treedef, leaves)
-
-        ts = load_section("train_state", ts_template)
-        node_replay = load_section("node_replay", node_template)
+        ts = load_npz_section(z, manifest, "train_state", ts_template)
+        node_replay = load_npz_section(z, manifest, "node_replay",
+                                       node_template)
         # jax.tree flattens dicts in sorted-key order: ["data", "meta"]
         rings.rl.restore(z["rl_replay.0"], z["rl_replay.1"])
         counters = z["counters"]
@@ -185,9 +166,10 @@ def train_host_env(cfg: NLBACConfig, adapter, episodes: Optional[int] = None,
       ``max_episodes / save_every_fraction`` cadence (UNI/main.py:
       153-154 saves at ``/2``; CARS/main.py:125-126 at ``/6``) and at
       the final episode;
-    - ``checkpoint_path`` — FULL state (train state, both native rings
-      incl. sampler RNG, counters) written asynchronously at the same
-      cadence; ``resume_path`` restores it and continues bit-for-bit
+    - ``checkpoint_path`` — FULL state (train state, the native RL
+      ring incl. its sampler RNG, the device NODE replay, counters)
+      written asynchronously at the same cadence; ``resume_path``
+      restores it and continues bit-for-bit
       for shim-wrapped envs (the fold_in RNG scheme needs only the
       restored counters; the reset stream is replayed to re-sync the
       env chain — an external gym env's private RNG state is the one

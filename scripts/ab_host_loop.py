@@ -61,9 +61,13 @@ def main():
         for name, fn in (("old", old_fn), ("new", new_fn)):
             cfg, adapter = make_setup()
             r = run_phase(fn, cfg, adapter, eps, seed=p)
-            # first episode of the first phase carries compile
-            keep = r[1:] if p == 0 else r
-            rates[name] += keep
+            # drop the first episode of EVERY phase: each phase builds
+            # fresh per-call jax.jit closures, so every phase's first
+            # episode carries recompile (the persistent XLA cache does
+            # not cover the jaxpr->MLIR lowering on this backend, and
+            # the two arms compile different program counts — keeping
+            # those episodes would bias the arms unequally; advisor r5)
+            rates[name] += r[1:]
             print(f"phase {p} {name}: "
                   + " ".join(f"{x:.2f}" for x in r), flush=True)
     for name in ("old", "new"):

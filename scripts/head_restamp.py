@@ -17,7 +17,10 @@ Run on the TPU from the repo root:
 
     python scripts/head_restamp.py [outdir]       # run + compare
     python scripts/head_restamp.py --compare-only [outdir]
-    python scripts/head_restamp.py --only=preset [outdir]
+    python scripts/head_restamp.py --only=<gate> [outdir]   # gate name
+    # (gate names: unicycle/cars/pvtol/nbc_unicycle/nbc_pvtol/
+    #  quadrotor/quadrotor_health — the quadrotor s108 determinism
+    #  stamp and the s12345 health gate are separate gates)
 """
 import glob
 import os
@@ -123,7 +126,10 @@ def main():
             if a.startswith("--only=")]
     failures = 0
     for name, (preset, seed, eps, archive, band) in PRESETS.items():
-        if only and name not in only and preset not in only:
+        # match by GATE name only: matching the preset too would make
+        # --only=quadrotor silently run the full s12345 health training
+        # run alongside the s108 determinism stamp (advisor r5)
+        if only and name not in only:
             continue
         # resolve against REPO (advisor r4: `find` from the caller's
         # cwd while train.py runs with cwd=REPO searched the wrong tree)
