@@ -55,9 +55,18 @@ def _load() -> ctypes.CDLL:
         # a STALE prebuilt .so from before a C-ABI addition (the .so is
         # untracked — e.g. rb_snapshot/rb_restore landed in r5) makes
         # dlsym raise AttributeError: rebuild once and retry rather
-        # than crashing every consumer with a raw missing-symbol error
+        # than crashing every consumer with a raw missing-symbol error.
+        # dlopen caches by PATH (re-loading _LIB_PATH would return the
+        # already-mapped stale image), so bind the rebuilt library
+        # through a fresh temp path.
+        import shutil
+        import tempfile
+
         build()
-        lib = _bind(ctypes.CDLL(_LIB_PATH))
+        fd, tmp = tempfile.mkstemp(suffix=".so", prefix="nlbac_host_")
+        os.close(fd)
+        shutil.copy2(_LIB_PATH, tmp)
+        lib = _bind(ctypes.CDLL(tmp))
     _lib = lib
     return lib
 

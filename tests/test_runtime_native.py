@@ -526,3 +526,61 @@ def test_host_loop_rejects_zero_updates_per_step():
         cfg, sac=dataclasses.replace(cfg.sac, updates_per_step=0))
     with pytest.raises(ValueError, match="updates_per_step"):
         hl.train_host_env(cfg, adapter, episodes=1, seed=0)
+
+
+def test_stale_native_lib_rebuilds(tmp_path):
+    """A prebuilt libnlbac_host.so from BEFORE a C-ABI addition (the
+    .so is untracked) must not crash consumers with a raw
+    missing-symbol AttributeError: _load rebuilds via make and binds
+    the fresh library through a temp path (dlopen caches by path, so
+    re-loading the original path would return the stale image)."""
+    import shutil
+    import subprocess
+    import sys
+    import textwrap
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("no g++ toolchain")
+    from nlbac_tpu import runtime_native as rn
+
+    # a stale stub: the pre-r5 symbol surface (everything _bind touches
+    # BEFORE rb_snapshot), bodies never called after the rebuild
+    stub = tmp_path / "stale.cpp"
+    stub.write_text(textwrap.dedent("""
+        #include <cstdint>
+        extern "C" {
+        void* rb_create(int64_t, int64_t, uint64_t) { return nullptr; }
+        void rb_destroy(void*) {}
+        void rb_push(void*, const float*) {}
+        void rb_push_many(void*, const float*, int64_t) {}
+        void rb_sample(void*, int64_t, int64_t, float*) {}
+        int64_t rb_size(void*) { return 0; }
+        int64_t rb_total(void*) { return 0; }
+        }
+    """))
+    lib_path = rn._LIB_PATH
+    backup = tmp_path / "real.so"
+    shutil.copy2(lib_path, backup)
+    try:
+        subprocess.run([gxx, "-O1", "-std=c++17", "-fPIC", "-shared",
+                        "-o", lib_path, str(stub)], check=True)
+        # fresh process: this one may already hold the good dlopen image
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from nlbac_tpu import runtime_native as rn\n"
+             "import numpy as np\n"
+             "assert rn.native_available()\n"
+             "h = rn.HostReplay(4, 2, seed=0)\n"
+             "h.push(np.ones(2, np.float32))\n"
+             "d, m = h.snapshot()\n"
+             "assert d.shape == (4, 2) and m.shape == (5,)\n"
+             "print('REBUILT-OK')\n"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(rn.__file__))))
+        assert "REBUILT-OK" in r.stdout, (r.stdout, r.stderr[-1500:])
+    finally:
+        # the subprocess rebuilt it from source; restore the backup
+        # anyway in case the toolchain misbehaved
+        if not os.path.exists(lib_path):
+            shutil.copy2(backup, lib_path)
