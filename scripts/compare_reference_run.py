@@ -66,6 +66,10 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     curves = {"reference (torch, CPU, EXECUTED)": load(ref_path)}
+    # a sibling *_s1.txt (the second executed seed) joins the plot
+    s1 = ref_path.replace(".txt", "_s1.txt")
+    if os.path.exists(s1) and s1 != ref_path:
+        curves["reference s1 (torch, CPU, EXECUTED)"] = load(s1)
     for name, rel in OURS.items():
         p = os.path.join(REPO, rel)
         if os.path.exists(p):
